@@ -1,0 +1,26 @@
+"""tpuasr — a TPU-native speech recognition framework in JAX.
+
+A ground-up rebuild of the capabilities of the reference framework
+``jinserk/pytorch-asr`` (hybrid ASR: featurizer -> acoustic model -> CTC ->
+greedy/beam decode), designed TPU-first:
+
+* the wav -> STFT -> log-mel-fbank/MFCC -> CMVN featurizer is pure-jnp
+  (``tpuasr.features.reference``) with a fused Pallas kernel chain
+  (``tpuasr.features.pallas_fused``) for the hot path;
+* acoustic models (ResNet-CTC, DeepSpeech-style conv+BiRNN, CapsNet with
+  dynamic routing) are jitted Flax modules (``tpuasr.models``);
+* CTC loss is a log-space forward-backward with an analytic custom-VJP
+  (``tpuasr.losses``) and a Pallas kernel on TPU, replacing the reference's
+  warp-ctc C++/CUDA extension;
+* decoding is an on-device, batched, XLA-compilable CTC prefix beam search
+  (``tpuasr.decode``), replacing the reference's Kaldi latgen C++ binding;
+* data loading is host-side with length-bucketed fixed-shape padded batches
+  (``tpuasr.data``) so nothing recompiles across an epoch;
+* training is data-parallel over a ``jax.sharding.Mesh`` (``tpuasr.parallel``)
+  with Orbax checkpointing.
+
+Reference provenance: see SURVEY.md (the reference mount was empty at survey
+time; structure reconstructed from BASELINE.json + public-repo knowledge).
+"""
+
+__version__ = "0.1.0"
