@@ -1,0 +1,21 @@
+"""CTC loss implementations, replacing the reference's warp-ctc C++/CUDA
+extension (SURVEY.md section 2.2: Baidu warp-ctc + PyTorch binding).
+
+Three interchangeable implementations, all fixed-shape / jit-safe:
+
+* ``ctc_ref.ctc_loss_ref`` — alpha-only log-space forward via ``lax.scan``;
+  gradient by JAX autodiff through the scan. Slowest; the numeric ground
+  truth (validated against torch.nn.CTCLoss and optax.ctc_loss).
+* ``ctc_fb.ctc_loss`` — alpha-beta forward-backward with an analytic
+  ``custom_vjp`` (gradient = -posterior, scattered to classes by matmul).
+* ``ctc_pallas.ctc_loss_pallas`` — Pallas TPU kernel for the hot path.
+
+Conventions (matching warp-ctc / torch.nn.CTCLoss as used by the reference):
+blank id = 0; inputs are per-frame log-probabilities (B, T, C); returns
+per-utterance negative log-likelihood (no length normalization).
+"""
+
+from tpuasr.losses.ctc_fb import ctc_loss
+from tpuasr.losses.ctc_ref import ctc_loss_ref
+
+__all__ = ["ctc_loss", "ctc_loss_ref"]

@@ -1,0 +1,139 @@
+"""Shared sequence-model building blocks (masking-aware, TPU-friendly)."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def sequence_mask(lengths: jnp.ndarray, maxlen: int) -> jnp.ndarray:
+    """(B,) -> (B, T) bool."""
+    return jnp.arange(maxlen)[None, :] < lengths[:, None]
+
+
+def conv_out_length(lengths, kernel: int, stride: int, padding: str | int):
+    """Output length arithmetic for a strided conv along time.
+
+    Must match flax/XLA conv semantics exactly or CTC input_lengths go wrong
+    (SURVEY.md section 7.3 item 5). 'SAME': ceil(L/stride); int p (symmetric):
+    floor((L + 2p - k)/stride) + 1.
+    """
+    if padding == "SAME":
+        return -(-lengths // stride)
+    p = padding if isinstance(padding, int) else 0
+    return (lengths + 2 * p - kernel) // stride + 1
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over (batch, time) that ignores padded frames.
+
+    The reference models use plain BatchNorm (SURVEY.md section 2.1,
+    DeepSpeech-style AM); with fixed-shape padded batches the padding would
+    pollute the statistics, so stats are computed over valid positions only.
+    ``axis_name`` syncs stats across data-parallel devices.
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: (B, T, F); mask: (B, T) bool.
+        feat_shape = (x.shape[-1],)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(feat_shape, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(feat_shape, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, feat_shape)
+        bias = self.param("bias", nn.initializers.zeros, feat_shape)
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask[:, :, None].astype(x.dtype)
+            cnt = jnp.sum(m)
+            tot = jnp.sum(x * m, axis=(0, 1))
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                tot = jax.lax.psum(tot, self.axis_name)
+            mean = tot / jnp.maximum(cnt, 1.0)
+            sq = jnp.sum((x - mean) ** 2 * m, axis=(0, 1))
+            if self.axis_name is not None:
+                sq = jax.lax.psum(sq, self.axis_name)
+            var = sq / jnp.maximum(cnt, 1.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class GRULayer(nn.Module):
+    """Unidirectional GRU over time via lax.scan.
+
+    TPU-first structure: the input projection for ALL timesteps is one big
+    (B*T, D) @ (D, 3H) matmul outside the scan (MXU); only the (B, H) @ (H, 3H)
+    recurrent matmul runs inside the scan. Gate order: [reset, update, new]
+    (torch convention). Padded steps freeze the hidden state.
+    """
+
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        B, T, D = x.shape
+        H = self.hidden
+        wx = self.param("wx", nn.initializers.lecun_normal(), (D, 3 * H))
+        wh = self.param("wh", nn.initializers.orthogonal(), (H, 3 * H))
+        b = self.param("b", nn.initializers.zeros, (3 * H,))
+
+        if self.reverse:
+            x = reverse_sequences(x, lengths)
+
+        xp = (x.reshape(B * T, D) @ wx + b).reshape(B, T, 3 * H)
+        mask = sequence_mask(lengths, T)
+
+        def step(h, inp):
+            xp_t, m_t = inp
+            hp = h @ wh
+            r = jax.nn.sigmoid(xp_t[:, :H] + hp[:, :H])
+            z = jax.nn.sigmoid(xp_t[:, H:2 * H] + hp[:, H:2 * H])
+            n = jnp.tanh(xp_t[:, 2 * H:] + r * hp[:, 2 * H:])
+            h_new = (1.0 - z) * n + z * h
+            h_new = jnp.where(m_t[:, None], h_new, h)
+            return h_new, h_new
+
+        h0 = jnp.zeros((B, H), x.dtype)
+        xp_t = jnp.transpose(xp, (1, 0, 2))
+        m_t = jnp.transpose(mask, (1, 0))
+        _, ys = jax.lax.scan(step, h0, (xp_t, m_t))
+        y = jnp.transpose(ys, (1, 0, 2))
+        if self.reverse:
+            y = reverse_sequences(y, lengths)
+        return y * mask[:, :, None]
+
+
+def reverse_sequences(x, lengths):
+    """Reverse each row's first `lengths[b]` steps in place (padding stays)."""
+    B, T = x.shape[0], x.shape[1]
+    t = jnp.arange(T)[None, :]
+    idx = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
+class BiGRU(nn.Module):
+    """Bidirectional GRU: concat of forward and reverse GRULayers."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        fwd = GRULayer(self.hidden, reverse=False, name="fwd")(x, lengths)
+        bwd = GRULayer(self.hidden, reverse=True, name="bwd")(x, lengths)
+        return jnp.concatenate([fwd, bwd], axis=-1)
