@@ -1,0 +1,62 @@
+"""CLI end-to-end: batch_train.py -> predict.py -> test.py as subprocesses on
+the synthetic corpus (the reference's public API surface, SURVEY.md L3)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from tpuasr.data import make_synthetic_corpus
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(script, *args, timeout=600):
+    env = dict(os.environ)
+    env["TPUASR_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run([sys.executable, str(REPO / script), *map(str, args)],
+                       capture_output=True, text=True, timeout=timeout,
+                       cwd=REPO, env=env)
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
+@pytest.mark.slow
+def test_cli_train_predict_test(tmp_path):
+    corpus = make_synthetic_corpus(tmp_path / "corpus", num_utts=12,
+                                   vocab_size=5, min_tokens=2, max_tokens=3)
+    log_dir = tmp_path / "run"
+    out = run_cli(
+        "batch_train.py", "deepspeech_ctc",
+        "--train-manifest", corpus.manifest,
+        "--units", corpus.root / "units.txt",
+        "--batch-size", 4, "--num-epochs", 2, "--lr", "3e-3",
+        "--max-label-len", 4, "--log-dir", log_dir,
+        "--log-every", 1)
+    ckpts = list((log_dir / "ckpt").glob("ckpt_*.msgpack"))
+    assert ckpts, "no checkpoint written"
+
+    wav = corpus.root / "wav" / "train_0000.wav"
+    out = run_cli("predict.py", "deepspeech_ctc", wav,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt")
+    assert str(wav) in out
+    # Output format: "<path>\t<tokens...>" (possibly empty for 2 epochs)
+    line = [l for l in out.splitlines() if str(wav) in l][0]
+    assert "\t" in line
+
+    out = run_cli("predict.py", "deepspeech_ctc", wav,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt", "--beam",
+                  "--beam-width", 8)
+    assert str(wav) in out
+
+    out = run_cli("test.py", "deepspeech_ctc",
+                  "--manifest", corpus.manifest,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt",
+                  "--batch-size", 4, "--max-label-len", 4)
+    assert "token-error-rate" in out

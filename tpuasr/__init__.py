@@ -24,3 +24,14 @@ time; structure reconstructed from BASELINE.json + public-repo knowledge).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("TPUASR_PLATFORM"):
+    # Escape hatch for scripts/tests: the sandbox sitecustomize force-selects
+    # the axon TPU plugin regardless of JAX_PLATFORMS, so offer an explicit
+    # override that works as long as tpuasr is imported before first backend
+    # use (e.g. TPUASR_PLATFORM=cpu).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TPUASR_PLATFORM"])

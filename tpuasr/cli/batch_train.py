@@ -1,0 +1,72 @@
+"""``python batch_train.py <model> [flags]`` — train an acoustic model
+(reference: top-level batch_train.py dispatching to asr.models.<model>.train,
+SURVEY.md section 3.1). Flag names keep the reference's spelling where it had
+one (--batch-size, --num-epochs, --continue-from, --use-cuda)."""
+
+from __future__ import annotations
+
+import argparse
+
+from tpuasr.cli.common import add_common_flags, feature_config, load_units
+from tpuasr.data import AudioLoader, LoaderConfig
+from tpuasr.train import TrainConfig, Trainer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="batch_train.py")
+    add_common_flags(p)
+    p.add_argument("--train-manifest", required=True)
+    p.add_argument("--dev-manifest", default=None)
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="default: len(units file)")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--num-epochs", type=int, default=10)
+    p.add_argument("--max-label-len", type=int, default=64)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adam", "sgd"])
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--grad-clip", type=float, default=5.0)
+    p.add_argument("--warmup-steps", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-dir", default="runs/default")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="default: <log-dir>/ckpt")
+    p.add_argument("--continue-from", default=None,
+                   help="checkpoint file or dir to resume from")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--ckpt-every-steps", type=int, default=500)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    units = load_units(args.units)
+    num_classes = args.num_classes or (len(units) if units else None)
+    if not num_classes:
+        raise SystemExit("--num-classes or --units is required")
+    ckpt_dir = args.checkpoint_dir or f"{args.log_dir}/ckpt"
+    cfg = TrainConfig(
+        model=args.model, num_classes=num_classes, optimizer=args.optimizer,
+        lr=args.lr, grad_clip=args.grad_clip, warmup_steps=args.warmup_steps,
+        num_epochs=args.num_epochs, seed=args.seed, log_every=args.log_every,
+        ckpt_dir=ckpt_dir, ckpt_every_steps=args.ckpt_every_steps,
+        continue_from=args.continue_from)
+    lcfg = LoaderConfig(batch_size=args.batch_size,
+                        max_label_len=args.max_label_len, seed=args.seed)
+    train_loader = AudioLoader(args.train_manifest, lcfg)
+    dev_loader = (AudioLoader(args.dev_manifest,
+                              LoaderConfig(batch_size=args.batch_size,
+                                           max_label_len=args.max_label_len,
+                                           shuffle=False))
+                  if args.dev_manifest else None)
+    from tpuasr.utils.logger import init_logger
+    logger = init_logger("tpuasr", args.log_dir)
+    trainer = Trainer(cfg, feature_config(args), logger=logger)
+    state = trainer.fit(train_loader, dev_loader, metrics_dir=args.log_dir)
+    logger.info("training done at step %d; checkpoints in %s",
+                int(state.step), ckpt_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

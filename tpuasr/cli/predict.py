@@ -1,0 +1,92 @@
+"""``python predict.py <model> wav [wav ...]`` — transcribe wav files
+(reference: top-level predict.py -> asr.models.<model>.predict, SURVEY.md
+section 3.2). Decoding is greedy or on-device prefix beam search (the
+reference's --latgen path maps to --beam here; see tpuasr.decode)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuasr.cli.common import (add_common_flags, feature_config, load_units,
+                               tokens_to_text)
+from tpuasr.decode import BeamSearchConfig, ctc_beam_search, greedy_decode
+from tpuasr.features import FeatureConfig, Featurizer
+from tpuasr.models import create_model
+from tpuasr.train.checkpoints import load_for_inference
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="predict.py")
+    add_common_flags(p)
+    p.add_argument("wavs", nargs="+", help="wav files to transcribe")
+    p.add_argument("--continue-from", "--checkpoint", dest="checkpoint",
+                   required=True, help="checkpoint file or dir")
+    p.add_argument("--beam", action="store_true",
+                   help="CTC prefix beam search instead of greedy "
+                        "(replaces the reference's Kaldi latgen path)")
+    p.add_argument("--beam-width", type=int, default=16)
+    p.add_argument("--class-topk", type=int, default=8)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    units = load_units(args.units)
+    variables, meta = load_for_inference(args.checkpoint)
+    if meta.get("model") and meta["model"] != args.model:
+        print(f"# note: checkpoint was trained as {meta['model']!r}")
+    num_classes = meta.get("num_classes") or (len(units) if units else None)
+    if not num_classes:
+        raise SystemExit("checkpoint lacks num_classes; pass --units")
+    feat_cfg = (FeatureConfig(**meta["feature"]) if meta.get("feature")
+                else feature_config(args))
+    model = create_model(meta.get("model", args.model),
+                         num_classes=num_classes,
+                         **meta.get("model_kwargs", {}))
+    fz = Featurizer(feat_cfg)
+
+    from tpuasr.data.manifest import load_wav
+    wavs, lens = [], []
+    for path in args.wavs:
+        data, sr = load_wav(path)
+        if sr != feat_cfg.sample_rate:
+            raise SystemExit(f"{path}: sample rate {sr} != "
+                             f"{feat_cfg.sample_rate}")
+        wavs.append(data)
+        lens.append(len(data))
+    S = max(lens)
+    batch = np.zeros((len(wavs), S), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i, :len(w)] = w
+
+    @jax.jit
+    def forward(wav, wav_lens):
+        feats, flens = fz._featurize(wav, wav_lens)
+        logp, out_lens = model.apply(variables, feats, flens, train=False)
+        return logp, out_lens
+
+    logp, out_lens = forward(jnp.asarray(batch),
+                             jnp.asarray(lens, dtype=jnp.int32))
+    if args.beam:
+        cfg = BeamSearchConfig(beam_width=args.beam_width,
+                               class_topk=args.class_topk,
+                               max_len=int(logp.shape[1]))
+        out = ctc_beam_search(logp, out_lens, cfg)
+        toks = np.asarray(out["tokens"])[:, 0]
+        tok_lens = np.asarray(out["token_lens"])[:, 0]
+    else:
+        t, l = greedy_decode(logp, out_lens)
+        toks, tok_lens = np.asarray(t), np.asarray(l)
+
+    for i, path in enumerate(args.wavs):
+        seq = toks[i][:tok_lens[i]].tolist()
+        print(f"{path}\t{tokens_to_text(seq, units)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""``python test.py <model> --manifest ...`` — evaluate WER/TER on a labeled
+set (reference: top-level test.py computing WER by edit distance, SURVEY.md
+section 2.1 Predict/test row)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuasr.cli.common import add_common_flags, feature_config, load_units
+from tpuasr.data import AudioLoader, LoaderConfig
+from tpuasr.decode import BeamSearchConfig, ctc_beam_search, greedy_decode
+from tpuasr.features import FeatureConfig, Featurizer
+from tpuasr.models import create_model
+from tpuasr.train.checkpoints import load_for_inference
+from tpuasr.utils.metrics import wer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="test.py")
+    add_common_flags(p)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--continue-from", "--checkpoint", dest="checkpoint",
+                   required=True)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--max-label-len", type=int, default=64)
+    p.add_argument("--beam", action="store_true")
+    p.add_argument("--beam-width", type=int, default=16)
+    p.add_argument("--class-topk", type=int, default=8)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    variables, meta = load_for_inference(args.checkpoint)
+    num_classes = meta.get("num_classes")
+    units = load_units(args.units)
+    if not num_classes:
+        num_classes = len(units)
+    feat_cfg = (FeatureConfig(**meta["feature"]) if meta.get("feature")
+                else feature_config(args))
+    model = create_model(meta.get("model", args.model),
+                         num_classes=num_classes,
+                         **meta.get("model_kwargs", {}))
+    fz = Featurizer(feat_cfg)
+    loader = AudioLoader(args.manifest,
+                         LoaderConfig(batch_size=args.batch_size,
+                                      max_label_len=args.max_label_len,
+                                      shuffle=False))
+
+    @jax.jit
+    def forward(wav, wav_lens):
+        feats, flens = fz._featurize(wav, wav_lens)
+        return model.apply(variables, feats, flens, train=False)
+
+    refs, hyps = [], []
+    for batch in loader:
+        logp, out_lens = forward(jnp.asarray(batch["wav"]),
+                                 jnp.asarray(batch["wav_lens"]))
+        if args.beam:
+            cfg = BeamSearchConfig(beam_width=args.beam_width,
+                                   class_topk=args.class_topk,
+                                   max_len=int(logp.shape[1]))
+            out = ctc_beam_search(logp, out_lens, cfg)
+            toks = np.asarray(out["tokens"])[:, 0]
+            tok_lens = np.asarray(out["token_lens"])[:, 0]
+        else:
+            t, l = greedy_decode(logp, out_lens)
+            toks, tok_lens = np.asarray(t), np.asarray(l)
+        for j in range(len(batch["real"])):
+            if not batch["real"][j]:
+                continue
+            refs.append(
+                batch["tokens"][j][:batch["token_lens"][j]].tolist())
+            hyps.append(toks[j][:tok_lens[j]].tolist())
+    ter = wer(refs, hyps)
+    print(f"utterances: {len(refs)}  token-error-rate: {ter:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,126 @@
+"""Bucketed batch loader (replaces the reference's AudioDataLoader/collate,
+SURVEY.md section 2.1: sort-by-length + pad-to-batch-max, per-worker CPU
+featurization). Here: fixed bucket shapes, wav decode on host, featurization
+on device, deterministic shuffling with a resumable epoch/step cursor
+(checkpointable, SURVEY.md section 5 failure-recovery row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from tpuasr.data.bucketing import BucketSpec, make_buckets
+from tpuasr.data.manifest import Utterance, load_wav, read_manifest
+
+
+@dataclasses.dataclass
+class LoaderConfig:
+    batch_size: int = 8
+    max_label_len: int = 64
+    shuffle: bool = True
+    seed: int = 0
+    drop_last: bool = False
+    max_waste: float = 0.2
+    max_buckets: int = 6
+
+
+class AudioLoader:
+    """Iterates fixed-shape batches:
+    dict(wav (B, S_bucket) f32, wav_lens (B,) i32,
+         tokens (B, U) i32 (pad 0), token_lens (B,) i32, ids list[str]).
+
+    Batches are homogeneous in bucket, so an epoch touches at most
+    ``len(buckets)`` distinct shapes.
+    """
+
+    def __init__(self, manifest, cfg: LoaderConfig = None,
+                 bucket_spec: BucketSpec = None):
+        self.cfg = cfg or LoaderConfig()
+        self.utts: list[Utterance] = (
+            read_manifest(manifest) if not isinstance(manifest, list)
+            else manifest)
+        if not self.utts:
+            raise ValueError("empty manifest")
+        lens = [u.num_samples for u in self.utts]
+        self.buckets = bucket_spec or make_buckets(
+            lens, max_waste=self.cfg.max_waste,
+            max_buckets=self.cfg.max_buckets)
+        self._cache: dict[str, np.ndarray] = {}
+        self.epoch = 0
+
+    # -- deterministic, resumable batch plan --------------------------------
+
+    def batch_plan(self, epoch: int) -> list[list[int]]:
+        """List of batches (utterance indices), grouped by bucket."""
+        order = np.arange(len(self.utts))
+        if self.cfg.shuffle:
+            rng = np.random.default_rng(self.cfg.seed + epoch)
+            rng.shuffle(order)
+        by_bucket: dict[int, list[int]] = {}
+        for i in order:
+            b = self.buckets.bucket_of(self.utts[i].num_samples)
+            if b < 0:
+                b = len(self.buckets.boundaries) - 1  # truncate overlong
+            by_bucket.setdefault(b, []).append(int(i))
+        plan = []
+        B = self.cfg.batch_size
+        for b, idxs in sorted(by_bucket.items()):
+            for s in range(0, len(idxs), B):
+                chunk = idxs[s:s + B]
+                if len(chunk) < B:
+                    if self.cfg.drop_last:
+                        continue
+                    # Repeat-pad to full batch (keeps shapes fixed); the
+                    # duplicated rows are flagged via `real` mask.
+                    chunk = (chunk * ((B // len(chunk)) + 1))[:B]
+                plan.append(chunk)
+        if self.cfg.shuffle:
+            rng = np.random.default_rng(self.cfg.seed * 7919 + epoch)
+            rng.shuffle(plan)
+        return plan
+
+    def _wav(self, u: Utterance) -> np.ndarray:
+        if u.id not in self._cache:
+            data, sr = load_wav(u.wav)
+            if sr != u.sample_rate:
+                raise ValueError(f"{u.id}: sr {sr} != {u.sample_rate}")
+            self._cache[u.id] = data
+        return self._cache[u.id]
+
+    def make_batch(self, idxs: list[int]) -> dict:
+        cfg = self.cfg
+        utts = [self.utts[i] for i in idxs]
+        bucket = max(self.buckets.bucket_of(u.num_samples) for u in utts)
+        if bucket < 0:
+            bucket = len(self.buckets.boundaries) - 1
+        S = self.buckets.padded_len(bucket)
+        B = len(utts)
+        wav = np.zeros((B, S), np.float32)
+        wav_lens = np.zeros((B,), np.int32)
+        U = cfg.max_label_len
+        tokens = np.zeros((B, U), np.int32)
+        token_lens = np.zeros((B,), np.int32)
+        seen = set()
+        real = np.zeros((B,), bool)
+        for j, u in enumerate(utts):
+            data = self._wav(u)[:S]
+            wav[j, :len(data)] = data
+            wav_lens[j] = len(data)
+            toks = u.tokens[:U]
+            tokens[j, :len(toks)] = toks
+            token_lens[j] = len(toks)
+            real[j] = u.id not in seen
+            seen.add(u.id)
+        return dict(wav=wav, wav_lens=wav_lens, tokens=tokens,
+                    token_lens=token_lens, ids=[u.id for u in utts],
+                    real=real)
+
+    def __iter__(self):
+        for chunk in self.batch_plan(self.epoch):
+            yield self.make_batch(chunk)
+        self.epoch += 1
+
+    def __len__(self):
+        return len(self.batch_plan(self.epoch))

@@ -1,0 +1,15 @@
+"""Decoders: greedy CTC collapse and batched on-device prefix beam search.
+
+Replaces the reference's two decode paths (SURVEY.md sections 2.1/3.2):
+  * greedy argmax -> collapse repeats -> strip blanks (reference: decode util
+    in model predict.py) — here a fixed-shape, jit-safe device function;
+  * the Kaldi latgen C++ binding (LatticeFasterDecoder over a TLG.fst) — here
+    re-cast as a batched, XLA-compilable CTC prefix beam search
+    (decode/prefix_beam.py) so inference runs end-to-end on device; the
+    lexicon/word mapping is applied host-side (decode/lexicon.py).
+"""
+
+from tpuasr.decode.greedy import greedy_decode
+from tpuasr.decode.prefix_beam import BeamSearchConfig, ctc_beam_search
+
+__all__ = ["greedy_decode", "ctc_beam_search", "BeamSearchConfig"]

@@ -1,0 +1,209 @@
+"""Batched, XLA-compilable CTC prefix beam search — the TPU-native replacement
+for the reference's Kaldi latgen C++ decoder binding (SURVEY.md section 2.2:
+`asr/kaldi/` wrapping kaldi::LatticeFasterDecoder over a TLG.fst; the
+device->host copy + single-threaded C++ WFST walk was the reference's
+inference bottleneck, section 3.2).
+
+Design (fixed shapes everywhere, one ``lax.scan`` over time, no host sync):
+
+  * K beams per utterance; each beam holds (prefix buffer, length, last token,
+    log p_blank, log p_nonblank, rolling hash pair).
+  * Per step: classes are pruned to the top-P by emission prob (blank handled
+    separately), candidates = K stay + K*P extend, then candidates that spell
+    the SAME prefix are merged by sorting on a 2x32-bit rolling hash and
+    segment-logsumexp, and the top-K by total prob survive (`lax.top_k`).
+  * Prefix-equality via hashing keeps the merge O(N log N) sort + segment ops
+    instead of impossible dynamic hash maps (SURVEY.md section 7.3 item 3);
+    two independent 32-bit hashes make collisions negligible (~2^-64 per pair).
+  * Optional shallow-fusion hook: `score_fn(prefix_hash, last, new_char) ->
+    additive log bonus` (used for lexicon/word LM fusion, host-precomputed).
+
+Returns the N-best prefixes per utterance with scores; beams never leave the
+device during the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+_H1_MUL = jnp.uint32(2654435761)   # Knuth multiplicative hashing
+_H2_MUL = jnp.uint32(40503)
+_H1_INIT = jnp.uint32(2166136261)  # FNV offset basis
+_H2_INIT = jnp.uint32(5381)        # djb2
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamSearchConfig:
+    beam_width: int = 16          # K
+    class_topk: int = 8           # P: classes considered per step
+    max_len: int = 256            # prefix buffer length (tokens)
+    blank: int = 0
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    return m + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m))
+
+
+def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
+                    n_best: int = 1):
+    """CTC prefix beam search over a batch.
+
+    Args:
+      log_probs: (B, T, C) per-frame log-probs (blank = cfg.blank).
+      lengths: (B,) valid frame counts.
+      cfg: BeamSearchConfig.
+      n_best: how many hypotheses to return per utterance (<= beam_width).
+
+    Returns dict with:
+      tokens: (B, n_best, max_len) int32, padded with -1
+      token_lens: (B, n_best) int32
+      scores: (B, n_best) float32 total log-prob of each prefix
+    """
+    if cfg is None:
+        cfg = BeamSearchConfig()
+    B, T, C = log_probs.shape
+    K, P, L = cfg.beam_width, cfg.class_topk, cfg.max_len
+    P = min(P, C - 1)  # blank handled separately
+    blank = cfg.blank
+
+    # ---- initial state: beam 0 = empty prefix; others dead ----
+    beam0 = jnp.arange(K) == 0
+    init = dict(
+        prefixes=jnp.full((B, K, L), -1, jnp.int32),
+        plen=jnp.zeros((B, K), jnp.int32),
+        last=jnp.full((B, K), -1, jnp.int32),
+        p_b=jnp.where(beam0, 0.0, NEG_INF) * jnp.ones((B, 1)),
+        p_nb=jnp.full((B, K), NEG_INF),
+        # Distinct hashes for dead beams so they never merge with live ones.
+        h1=(_H1_INIT + jnp.arange(K, dtype=jnp.uint32))[None, :].repeat(B, 0),
+        h2=(_H2_INIT + jnp.arange(K, dtype=jnp.uint32))[None, :].repeat(B, 0),
+    )
+
+    def step(state, inp):
+        lp_t, t = inp                                   # lp_t: (B, C)
+        p_b, p_nb = state["p_b"], state["p_nb"]
+        last, plen = state["last"], state["plen"]
+        h1, h2 = state["h1"], state["h2"]
+        prefixes = state["prefixes"]
+
+        lp_blank = lp_t[:, blank]                       # (B,)
+        # Top-P non-blank classes this frame.
+        lp_nb_all = lp_t.at[:, blank].set(NEG_INF)
+        top_lp, top_c = jax.lax.top_k(lp_nb_all, P)     # (B, P)
+
+        p_tot = _logaddexp(p_b, p_nb)                   # (B, K)
+
+        # ---- stay candidates (K): same prefix ----
+        stay_p_b = p_tot + lp_blank[:, None]
+        # repeat last non-blank (only extends p_nb path; empty prefix has
+        # p_nb = -inf so the clip-gather is harmless)
+        lp_last = jnp.take_along_axis(
+            lp_t, jnp.clip(last, 0, C - 1), axis=1)
+        stay_p_nb = p_nb + lp_last
+
+        # ---- extend candidates (K, P): append c ----
+        c = top_c[:, None, :]                           # (B, 1, P)
+        is_rep = c == last[:, :, None]                  # (B, K, P)
+        base = jnp.where(is_rep, p_b[:, :, None], p_tot[:, :, None])
+        ext_p_nb = base + top_lp[:, None, :]            # (B, K, P)
+        # Overflowing the prefix buffer kills the candidate.
+        ext_p_nb = jnp.where((plen[:, :, None] >= L), NEG_INF, ext_p_nb)
+        cu = (c + 1).astype(jnp.uint32)
+        ext_h1 = h1[:, :, None] * _H1_MUL + cu
+        ext_h2 = h2[:, :, None] * _H2_MUL + cu
+
+        # ---- concatenate candidate sets: N = K + K*P ----
+        N = K + K * P
+        cand_p_b = jnp.concatenate(
+            [stay_p_b, jnp.full((B, K * P), NEG_INF)], axis=1)
+        cand_p_nb = jnp.concatenate(
+            [stay_p_nb, ext_p_nb.reshape(B, K * P)], axis=1)
+        cand_h1 = jnp.concatenate([h1, ext_h1.reshape(B, K * P)], axis=1)
+        cand_h2 = jnp.concatenate([h2, ext_h2.reshape(B, K * P)], axis=1)
+        parent = jnp.concatenate(
+            [jnp.arange(K)[None].repeat(B, 0),
+             (jnp.arange(K)[:, None].repeat(P, 1).reshape(-1))[None]
+             .repeat(B, 0)], axis=1)                    # (B, N)
+        ext_char = jnp.concatenate(
+            [jnp.full((B, K), -1, jnp.int32),
+             top_c[:, None, :].repeat(K, 1).reshape(B, K * P)], axis=1)
+
+        # ---- merge equal prefixes: sort by hash, segment-logsumexp ----
+        order = jnp.lexsort((cand_h2, cand_h1), axis=1)  # (B, N)
+        def g(x):
+            return jnp.take_along_axis(x, order, axis=1)
+        s_h1, s_h2 = g(cand_h1), g(cand_h2)
+        s_p_b, s_p_nb = g(cand_p_b), g(cand_p_nb)
+        s_parent, s_char = g(parent), g(ext_char)
+        same_as_prev = jnp.concatenate(
+            [jnp.zeros((B, 1), bool),
+             (s_h1[:, 1:] == s_h1[:, :-1]) & (s_h2[:, 1:] == s_h2[:, :-1])],
+            axis=1)
+
+        # Segment logsumexp via associative scan — groups are contiguous
+        # after the sort. Each element carries (reaches_segment_start, value);
+        # the scan folds a group's probs into its LAST element, then
+        # non-tails are masked to -inf. The op is associative on segmented
+        # prefix-sums (standard segmented-scan construction).
+        def op(a, b):
+            same_a, v_a = a
+            same_b, v_b = b
+            merged = jnp.where(same_b, _logaddexp(v_a, v_b), v_b)
+            return (same_a & same_b, merged)
+
+        _, acc_p_b = jax.lax.associative_scan(op, (same_as_prev, s_p_b),
+                                              axis=1)
+        _, acc_p_nb = jax.lax.associative_scan(op, (same_as_prev, s_p_nb),
+                                               axis=1)
+        is_tail = jnp.concatenate(
+            [~same_as_prev[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+        m_p_b = jnp.where(is_tail, acc_p_b, NEG_INF)
+        m_p_nb = jnp.where(is_tail, acc_p_nb, NEG_INF)
+
+        # ---- prune to top-K by total prob ----
+        total = _logaddexp(m_p_b, m_p_nb)
+        _, top_idx = jax.lax.top_k(total, K)            # (B, K)
+        def h(x):
+            return jnp.take_along_axis(x, top_idx, axis=1)
+        new_p_b, new_p_nb = h(m_p_b), h(m_p_nb)
+        new_h1, new_h2 = h(s_h1), h(s_h2)
+        sel_parent, sel_char = h(s_parent), h(s_char)
+
+        # ---- materialize prefixes ----
+        par_prefix = jnp.take_along_axis(
+            prefixes, sel_parent[:, :, None], axis=1)   # (B, K, L)
+        par_len = jnp.take_along_axis(plen, sel_parent, axis=1)
+        par_last = jnp.take_along_axis(last, sel_parent, axis=1)
+        extend = sel_char >= 0
+        wpos = jnp.clip(par_len, 0, L - 1)
+        onehot = (jnp.arange(L)[None, None, :] == wpos[:, :, None])
+        new_prefixes = jnp.where(onehot & extend[:, :, None],
+                                 sel_char[:, :, None], par_prefix)
+        new_plen = par_len + extend.astype(jnp.int32)
+        new_last = jnp.where(extend, sel_char, par_last)
+
+        # ---- freeze state past each utterance's length ----
+        live = (t < lengths)[:, None]
+        def fz(new, old):
+            return jnp.where(
+                live.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+        new_state = dict(
+            prefixes=fz(new_prefixes, prefixes), plen=fz(new_plen, plen),
+            last=fz(new_last, last), p_b=fz(new_p_b, p_b),
+            p_nb=fz(new_p_nb, p_nb), h1=fz(new_h1, h1), h2=fz(new_h2, h2),
+        )
+        return new_state, None
+
+    lp_seq = jnp.transpose(log_probs, (1, 0, 2))        # (T, B, C)
+    final, _ = jax.lax.scan(step, init, (lp_seq, jnp.arange(T)))
+
+    total = _logaddexp(final["p_b"], final["p_nb"])     # (B, K)
+    score, idx = jax.lax.top_k(total, n_best)
+    tokens = jnp.take_along_axis(final["prefixes"], idx[:, :, None], axis=1)
+    token_lens = jnp.take_along_axis(final["plen"], idx, axis=1)
+    return dict(tokens=tokens, token_lens=token_lens, scores=score)

@@ -1,0 +1,68 @@
+"""DeepSpeech2-style conv + BiRNN CTC acoustic model (reference:
+asr/models/deepspeech_ctc/ [M], SURVEY.md section 2.1 — 2D conv frontend over
+the (freq, time) spectrogram, stacked bidirectional RNNs with batch norm, FC,
+log-softmax, CTC-trained).
+
+TPU-first design: the conv frontend runs in NHWC; each BiGRU layer does one
+big input-projection matmul outside the time scan (MXU) and only the
+(B,H)@(H,3H) recurrence inside (tpuasr.models.layers.GRULayer); batch norm is
+masked so padded frames never pollute statistics.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpuasr.models.layers import (BiGRU, MaskedBatchNorm, conv_out_length,
+                                  sequence_mask)
+
+
+class DeepSpeechCTC(nn.Module):
+    num_classes: int
+    rnn_hidden: int = 512
+    rnn_layers: int = 4
+    conv_channels: int = 32
+    dropout: float = 0.1
+    axis_name: str | None = None   # for cross-device BN stats sync
+
+    @nn.compact
+    def __call__(self, feats, feat_lens, train: bool = False):
+        # (B, T, F) -> NHWC (B, T, F, 1)
+        x = feats[:, :, :, None]
+        # DS2-style frontend: (time, freq) kernels, total time stride 2.
+        x = nn.Conv(self.conv_channels, (11, 41), strides=(2, 2),
+                    padding="SAME", use_bias=False, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="conv1_bn")(x)
+        x = nn.relu(x)
+        out_lens = conv_out_length(feat_lens, 11, 2, "SAME")
+        # Re-zero padding (BN bias makes zeros nonzero; see ResNetCTC).
+        tmask = sequence_mask(out_lens, x.shape[1])[:, :, None, None]
+        x = x * tmask
+        x = nn.Conv(self.conv_channels, (11, 21), strides=(1, 2),
+                    padding="SAME", use_bias=False, name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="conv2_bn")(x)
+        x = nn.relu(x)
+        x = x * tmask
+
+        B, Tp = x.shape[0], x.shape[1]
+        x = x.reshape(B, Tp, -1)          # (B, T', F' * C)
+        mask = sequence_mask(out_lens, Tp)
+        x = x * mask[:, :, None]
+
+        for i in range(self.rnn_layers):
+            x = MaskedBatchNorm(use_running_average=not train,
+                                axis_name=self.axis_name,
+                                name=f"rnn{i}_bn")(x, mask)
+            x = BiGRU(self.rnn_hidden, name=f"rnn{i}")(x, out_lens)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        x = MaskedBatchNorm(use_running_average=not train,
+                            axis_name=self.axis_name, name="head_bn")(x, mask)
+        x = nn.Dense(self.num_classes, name="head")(x)
+        logp = nn.log_softmax(x, axis=-1)
+        logp = jnp.where(mask[:, :, None], logp, 0.0)
+        return logp, out_lens

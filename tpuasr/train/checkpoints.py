@@ -1,0 +1,75 @@
+"""Checkpoint save/restore with the reference's --continue-from semantics
+(reference: torch.save({model, optimizer, epoch}) per epoch + --continue-from
+<ckpt>, SURVEY.md section 5). Serialization via flax msgpack (host-portable,
+no framework-version pickle hazards); Orbax can be layered on later for async
+multi-host saves."""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import flax.serialization
+import jax
+
+
+def save_checkpoint(ckpt_dir, state, step: int, keep: int = 5,
+                    meta: dict | None = None) -> Path:
+    """state: any pytree (e.g. TrainState). Returns the checkpoint path."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    state = jax.device_get(state)
+    path = ckpt_dir / f"ckpt_{step:08d}.msgpack"
+    path.write_bytes(flax.serialization.to_bytes(state))
+    if meta is not None:
+        (ckpt_dir / f"ckpt_{step:08d}.json").write_text(json.dumps(meta))
+    # Prune old checkpoints.
+    ckpts = sorted(ckpt_dir.glob("ckpt_*.msgpack"))
+    for old in ckpts[:-keep]:
+        old.unlink(missing_ok=True)
+        old.with_suffix(".json").unlink(missing_ok=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir) -> Path | None:
+    ckpts = sorted(Path(ckpt_dir).glob("ckpt_*.msgpack"))
+    return ckpts[-1] if ckpts else None
+
+
+def restore_checkpoint(path, target):
+    """Restore into the structure of `target` (a template pytree)."""
+    path = Path(path)
+    if path.is_dir():
+        found = latest_checkpoint(path)
+        if found is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        path = found
+    state = flax.serialization.from_bytes(target, path.read_bytes())
+    meta_path = path.with_suffix(".json")
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return state, meta
+
+
+def load_for_inference(path) -> tuple[dict, dict]:
+    """Load a checkpoint WITHOUT a template: returns ({'params',
+    'batch_stats'}, meta). Used by predict/test CLIs which don't know the
+    optimizer structure."""
+    path = Path(path)
+    if path.is_dir():
+        found = latest_checkpoint(path)
+        if found is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        path = found
+    raw = flax.serialization.msgpack_restore(path.read_bytes())
+    meta_path = path.with_suffix(".json")
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    variables = {"params": raw["params"]}
+    if raw.get("batch_stats"):
+        variables["batch_stats"] = raw["batch_stats"]
+    return variables, meta
+
+
+def checkpoint_step(path) -> int:
+    m = re.search(r"ckpt_(\d+)\.msgpack$", str(path))
+    return int(m.group(1)) if m else -1

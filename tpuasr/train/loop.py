@@ -1,0 +1,240 @@
+"""Jitted train/eval steps + epoch loop, data-parallel over the mesh.
+
+Reference call stack replaced (SURVEY.md section 3.1): per-epoch python loop ->
+forward -> warp-ctc -> backward -> clip -> SGD/Adam step -> periodic dev eval,
+checkpoint, tensorboard. Here the whole train step (featurize -> AM ->
+CTC -> grads -> psum over ICI -> clipped update) is ONE jitted program; the
+host only feeds fixed-shape bucketed numpy batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpuasr.data.loader import AudioLoader
+from tpuasr.decode import greedy_decode
+from tpuasr.features import FeatureConfig, Featurizer
+from tpuasr.losses import ctc_loss
+from tpuasr.models import create_model
+from tpuasr.parallel import (batch_sharding, make_mesh, replicated_sharding,
+                             shard_batch)
+from tpuasr.train.checkpoints import (latest_checkpoint, restore_checkpoint,
+                                      save_checkpoint)
+from tpuasr.utils.logger import MetricsWriter, init_logger
+from tpuasr.utils.metrics import wer
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "deepspeech_ctc"
+    model_kwargs: dict = dataclasses.field(default_factory=dict)
+    num_classes: int = 64
+    optimizer: str = "adamw"         # adamw | adam | sgd
+    lr: float = 3e-4
+    weight_decay: float = 1e-6
+    momentum: float = 0.9
+    warmup_steps: int = 200
+    grad_clip: float = 5.0
+    num_epochs: int = 10
+    seed: int = 0
+    log_every: int = 10
+    ckpt_dir: str | None = None
+    ckpt_every_steps: int = 500
+    continue_from: str | None = None
+    bf16_compute: bool = False
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = optax.linear_schedule(0.0, cfg.lr, max(cfg.warmup_steps, 1))
+    if cfg.optimizer == "adamw":
+        opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "adam":
+        opt = optax.adam(sched)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(sched, momentum=cfg.momentum, nesterov=True)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, feat_cfg: FeatureConfig = None,
+                 mesh=None, logger=None):
+        self.cfg = cfg
+        self.feat_cfg = feat_cfg or FeatureConfig()
+        self.featurizer = Featurizer(self.feat_cfg)
+        self.model = create_model(cfg.model, num_classes=cfg.num_classes,
+                                  **cfg.model_kwargs)
+        self.optimizer = make_optimizer(cfg)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.log = logger or init_logger()
+        self._compiled = {}
+
+    # ---- state ----
+
+    def init_state(self, sample_batch) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        feats, flens = self.featurizer._jit(
+            jnp.asarray(sample_batch["wav"]),
+            jnp.asarray(sample_batch["wav_lens"]))
+        # jit the init: eager init would dispatch every op separately, which
+        # is pathologically slow under the remote-compile TPU plugin.
+        variables = jax.jit(self.model.init,
+                            static_argnames=("train",))(
+                                rng, feats, flens, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.optimizer.init(params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=opt_state)
+        rep = replicated_sharding(self.mesh)
+        return jax.device_put(state, rep)
+
+    def num_params(self, state) -> int:
+        return sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(state.params))
+
+    # ---- steps ----
+
+    def _loss_fn(self, params, batch_stats, batch, dropout_rng, train):
+        feats, flens = self.featurizer._featurize(batch["wav"],
+                                                  batch["wav_lens"])
+        if self.cfg.bf16_compute:
+            feats = feats.astype(jnp.bfloat16)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            (logp, out_lens), updates = self.model.apply(
+                variables, feats, flens, train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            new_stats = updates.get("batch_stats", batch_stats)
+        else:
+            logp, out_lens = self.model.apply(variables, feats, flens,
+                                              train=False)
+            new_stats = batch_stats
+        losses = ctc_loss(logp.astype(jnp.float32), batch["tokens"],
+                          out_lens, batch["token_lens"])
+        w = batch["real"].astype(jnp.float32)
+        loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss, (new_stats, logp, out_lens)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, batch: dict) -> tuple:
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 1),
+                                 state.step)
+        (loss, (new_stats, _, _)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch, rng, True)
+        updates, new_opt = self.optimizer.update(grads, state.opt_state,
+                                                 state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, batch: dict) -> dict:
+        loss, (_, logp, out_lens) = self._loss_fn(
+            state.params, state.batch_stats, batch,
+            jax.random.PRNGKey(0), False)
+        toks, tok_lens = greedy_decode(logp, out_lens)
+        return {"loss": loss, "tokens": toks, "token_lens": tok_lens}
+
+    # ---- epoch loop ----
+
+    def ckpt_meta(self, epoch: int) -> dict:
+        """Everything predict/test need to rebuild the model from a ckpt."""
+        return {"epoch": epoch, "model": self.cfg.model,
+                "num_classes": self.cfg.num_classes,
+                "model_kwargs": self.cfg.model_kwargs,
+                "feature": dataclasses.asdict(self.feat_cfg)}
+
+    def fit(self, train_loader: AudioLoader, dev_loader: AudioLoader = None,
+            metrics_dir: str = None) -> TrainState:
+        cfg = self.cfg
+        writer = MetricsWriter(metrics_dir) if metrics_dir else None
+        # Initialize (or resume) from a template batch before the epoch loop.
+        init_batch = train_loader.make_batch(train_loader.batch_plan(0)[0])
+        state = self.init_state(init_batch)
+        self.log.info("model %s: %.2fM params", cfg.model,
+                      self.num_params(state) / 1e6)
+        start_epoch = 0
+        if cfg.continue_from:
+            state, meta = restore_checkpoint(cfg.continue_from,
+                                             jax.device_get(state))
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+            start_epoch = meta.get("epoch", 0)
+            self.log.info("resumed from %s (step %d, epoch %d)",
+                          cfg.continue_from, int(state.step), start_epoch)
+        for epoch in range(start_epoch, cfg.num_epochs):
+            train_loader.epoch = epoch   # deterministic order resume
+            t_epoch = time.perf_counter()
+            n_utts = 0
+            for batch in train_loader:
+                dbatch = self._device_batch(batch)
+                state, m = self.train_step(state, dbatch)
+                n_utts += int(batch["real"].sum())
+                step = int(state.step)
+                if step % cfg.log_every == 0:
+                    loss = float(m["loss"])
+                    self.log.info("epoch %d step %d loss %.4f gnorm %.3f",
+                                  epoch, step, loss, float(m["grad_norm"]))
+                    if writer:
+                        writer.scalar("train/loss", loss, step)
+                if cfg.ckpt_dir and step % cfg.ckpt_every_steps == 0:
+                    save_checkpoint(cfg.ckpt_dir, jax.device_get(state), step,
+                                    meta=self.ckpt_meta(epoch))
+            dt = time.perf_counter() - t_epoch
+            self.log.info("epoch %d done in %.1fs (%.1f utt/s)", epoch, dt,
+                          n_utts / max(dt, 1e-9))
+            if dev_loader is not None:
+                dev = self.evaluate(state, dev_loader)
+                self.log.info("epoch %d dev loss %.4f ter %.4f", epoch,
+                              dev["loss"], dev["ter"])
+                if writer:
+                    writer.scalar("dev/loss", dev["loss"], int(state.step))
+                    writer.scalar("dev/ter", dev["ter"], int(state.step))
+        if cfg.ckpt_dir and state is not None:
+            save_checkpoint(cfg.ckpt_dir, jax.device_get(state),
+                            int(state.step), meta=self.ckpt_meta(cfg.num_epochs))
+        if writer:
+            writer.close()
+        return state
+
+    def evaluate(self, state: TrainState, loader: AudioLoader) -> dict:
+        tot_loss, n = 0.0, 0
+        refs, hyps = [], []
+        for batch in loader:
+            out = self.eval_step(state, self._device_batch(batch))
+            real = batch["real"]
+            w = real.sum()
+            tot_loss += float(out["loss"]) * w
+            n += w
+            toks = np.asarray(out["tokens"])
+            tlens = np.asarray(out["token_lens"])
+            for j in range(len(real)):
+                if not real[j]:
+                    continue
+                refs.append(batch["tokens"][j][:batch["token_lens"][j]]
+                            .tolist())
+                hyps.append(toks[j][:tlens[j]].tolist())
+        return {"loss": tot_loss / max(n, 1), "ter": wer(refs, hyps)}
+
+    def _device_batch(self, batch: dict) -> dict:
+        db = {k: v for k, v in batch.items() if k != "ids"}
+        return shard_batch(db, self.mesh)
