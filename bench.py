@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark (BASELINE config #5): end-to-end batched decode —
+fused featurizer -> acoustic model -> on-device CTC beam search — on an
+ASpIRE-style synthetic eval batch (8 kHz). Prints ONE JSON line:
+
+  {"metric": "decode_rtf_x", "value": <x real-time per chip>,
+   "unit": "x_realtime", "vs_baseline": <value / 50>}
+
+The baseline is the north-star target from BASELINE.json: >= 50x real-time
+batched decode per v5e chip (the reference publishes no numbers of its own —
+BASELINE.md). value = seconds of audio decoded per wall-clock second.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tpuasr.decode import BeamSearchConfig, ctc_beam_search
+    from tpuasr.features import FeatureConfig, Featurizer
+    from tpuasr.models import create_model
+
+    B = 32                      # utterances per batch
+    SECONDS = 10.0              # per utterance
+    SR = 8000
+    NUM_CLASSES = 64            # ASpIRE-style phone inventory scale
+    S = int(SR * SECONDS)
+
+    feat_cfg = FeatureConfig(sample_rate=SR, n_mels=64)
+    fz = Featurizer(feat_cfg)
+    model = create_model("deepspeech_ctc", num_classes=NUM_CLASSES,
+                         rnn_hidden=512, rnn_layers=4)
+
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal((B, S)).astype(np.float32) * 0.1
+    wav_lens = np.full((B,), S, np.int32)
+
+    feats0, flens0 = fz._jit(jnp.asarray(wav), jnp.asarray(wav_lens))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), feats0, flens0, train=False)
+
+    bs_cfg = BeamSearchConfig(beam_width=8, class_topk=8, max_len=256)
+
+    @jax.jit
+    def pipeline(wav, wav_lens):
+        feats, flens = fz._featurize(wav, wav_lens)
+        logp, out_lens = model.apply(variables, feats, flens, train=False)
+        out = ctc_beam_search(logp, out_lens, bs_cfg)
+        return out["tokens"], out["token_lens"], out["scores"]
+
+    wav_d = jnp.asarray(wav)
+    lens_d = jnp.asarray(wav_lens)
+    # Warmup / compile.
+    jax.block_until_ready(pipeline(wav_d, lens_d))
+
+    # Timed runs.
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = pipeline(wav_d, lens_d)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    audio_seconds = B * SECONDS
+    rtf_x = audio_seconds / dt
+    print(json.dumps({
+        "metric": "decode_rtf_x",
+        "value": round(rtf_x, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf_x / 50.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
