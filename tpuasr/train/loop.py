@@ -22,7 +22,7 @@ import optax
 from tpuasr.data.loader import AudioLoader
 from tpuasr.decode import greedy_decode
 from tpuasr.features import FeatureConfig, Featurizer
-from tpuasr.losses import ctc_loss
+from tpuasr.losses import get_ctc_loss
 from tpuasr.models import create_model
 from tpuasr.parallel import (batch_sharding, make_mesh, replicated_sharding,
                              shard_batch)
@@ -50,6 +50,8 @@ class TrainConfig:
     ckpt_every_steps: int = 500
     continue_from: str | None = None
     bf16_compute: bool = False
+    ctc_impl: str = "fb"             # ref | fb | pallas
+    fused_featurizer: bool = False   # Pallas fused featurizer kernel
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -77,7 +79,12 @@ class Trainer:
                  mesh=None, logger=None):
         self.cfg = cfg
         self.feat_cfg = feat_cfg or FeatureConfig()
-        self.featurizer = Featurizer(self.feat_cfg)
+        if cfg.fused_featurizer:
+            from tpuasr.features.pallas_fused import FusedFeaturizer
+            self.featurizer = FusedFeaturizer(self.feat_cfg)
+        else:
+            self.featurizer = Featurizer(self.feat_cfg)
+        self._ctc = get_ctc_loss(cfg.ctc_impl)
         self.model = create_model(cfg.model, num_classes=cfg.num_classes,
                                   **cfg.model_kwargs)
         self.optimizer = make_optimizer(cfg)
@@ -126,8 +133,8 @@ class Trainer:
             logp, out_lens = self.model.apply(variables, feats, flens,
                                               train=False)
             new_stats = batch_stats
-        losses = ctc_loss(logp.astype(jnp.float32), batch["tokens"],
-                          out_lens, batch["token_lens"])
+        losses = self._ctc(logp.astype(jnp.float32), batch["tokens"],
+                           out_lens, batch["token_lens"])
         w = batch["real"].astype(jnp.float32)
         loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
         return loss, (new_stats, logp, out_lens)
