@@ -1,0 +1,105 @@
+"""Pallas GRU kernel vs lax.scan GRULayer: forward + full BPTT gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuasr.models.layers import GRULayer
+from tpuasr.ops import gru_scan
+
+needs_interpret = jax.default_backend() != "tpu"
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    if needs_interpret:
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            yield
+    else:
+        yield
+
+
+def _ref_gru(xp, wh, mask):
+    """Plain scan reference with identical gate math (torch order r,z,n)."""
+    T, B, H3 = xp.shape
+    H = H3 // 3
+
+    def step(h, inp):
+        xp_t, m_t = inp
+        hp = h @ wh
+        r = jax.nn.sigmoid(xp_t[:, :H] + hp[:, :H])
+        z = jax.nn.sigmoid(xp_t[:, H:2 * H] + hp[:, H:2 * H])
+        n = jnp.tanh(xp_t[:, 2 * H:] + r * hp[:, 2 * H:])
+        h_new = (1 - z) * n + z * h
+        h_new = m_t * h_new + (1 - m_t) * h
+        return h_new, h_new
+
+    _, ys = jax.lax.scan(step, jnp.zeros((B, H)), (xp, mask))
+    return ys
+
+
+def make(rng, T=24, B=4, H=16, ragged=True):
+    xp = jnp.asarray(rng.standard_normal((T, B, 3 * H)), jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((H, 3 * H)) * 0.3, jnp.float32)
+    lens = np.full((B,), T)
+    if ragged:
+        lens = rng.integers(max(1, T // 3), T + 1, size=B)
+        lens[0] = T
+    mask = (np.arange(T)[:, None] < lens[None, :]).astype(np.float32)
+    return xp, wh, jnp.asarray(mask)[:, :, None]
+
+
+def test_forward_matches_scan(rng):
+    xp, wh, mask = make(rng)
+    ys_k = np.asarray(gru_scan(xp, wh, mask))
+    ys_r = np.asarray(_ref_gru(xp, wh, mask))
+    np.testing.assert_allclose(ys_k, ys_r, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_aligned_shapes(rng):
+    """Shapes already tile-aligned (no padding path)."""
+    xp, wh, mask = make(rng, T=16, B=8, H=128, ragged=False)
+    ys_k = np.asarray(gru_scan(xp, wh, mask))
+    ys_r = np.asarray(_ref_gru(xp, wh, mask))
+    np.testing.assert_allclose(ys_k, ys_r, rtol=1e-4, atol=1e-4)
+
+
+def test_grads_match_scan(rng):
+    xp, wh, mask = make(rng, T=16, B=4, H=16)
+    tgt = jnp.asarray(rng.standard_normal((16, 4, 16)), jnp.float32)
+
+    def loss_k(xp, wh):
+        return jnp.sum((gru_scan(xp, wh, mask) - tgt) ** 2 * mask)
+
+    def loss_r(xp, wh):
+        return jnp.sum((_ref_gru(xp, wh, mask) - tgt) ** 2 * mask)
+
+    (dk_xp, dk_wh) = jax.grad(loss_k, argnums=(0, 1))(xp, wh)
+    (dr_xp, dr_wh) = jax.grad(loss_r, argnums=(0, 1))(xp, wh)
+    np.testing.assert_allclose(np.asarray(dk_xp), np.asarray(dr_xp),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk_wh), np.asarray(dr_wh),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grulayer_pallas_flag(rng):
+    """GRULayer(use_pallas=True) == GRULayer(use_pallas=False)."""
+    B, T, D, H = 2, 20, 12, 16
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    lens = jnp.array([T, T - 7], jnp.int32)
+    layer_s = GRULayer(hidden=H, use_pallas=False)
+    layer_p = GRULayer(hidden=H, use_pallas=True)
+    v = layer_s.init(jax.random.PRNGKey(0), x, lens)
+    y_s = np.asarray(layer_s.apply(v, x, lens))
+    y_p = np.asarray(layer_p.apply(v, x, lens))
+    np.testing.assert_allclose(y_p, y_s, rtol=1e-5, atol=1e-5)
+
+    # Reverse direction too.
+    layer_sr = GRULayer(hidden=H, reverse=True, use_pallas=False)
+    layer_pr = GRULayer(hidden=H, reverse=True, use_pallas=True)
+    vr = layer_sr.init(jax.random.PRNGKey(1), x, lens)
+    np.testing.assert_allclose(
+        np.asarray(layer_pr.apply(vr, x, lens)),
+        np.asarray(layer_sr.apply(vr, x, lens)), rtol=1e-5, atol=1e-5)

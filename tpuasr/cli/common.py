@@ -15,6 +15,12 @@ def add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--units", type=str, default=None,
                    help="units/vocab file (one token name per line, id order; "
                         "line 0 = <blank>)")
+    p.add_argument("--words", type=str, default=None,
+                   help="words.txt symbol table (enables word output)")
+    p.add_argument("--lexicon", type=str, default=None,
+                   help="lexicon file 'WORD unit unit ...'; with --words, "
+                        "decoded units are segmented into words (the "
+                        "host-side half of the reference's latgen path)")
     p.add_argument("--sample-rate", type=int, default=8000)
     p.add_argument("--n-mels", type=int, default=64)
     p.add_argument("--feature-type", default="fbank",
@@ -41,3 +47,18 @@ def tokens_to_text(tokens, units: list[str]) -> str:
         return " ".join(str(int(t)) for t in tokens)
     return " ".join(units[int(t)] if 0 <= int(t) < len(units) else "<unk>"
                     for t in tokens)
+
+
+def make_word_decoder(args):
+    """Build (LexiconDecoder, words SymbolTable) from --lexicon/--words, or
+    (None, None) when word output isn't requested."""
+    if not args.lexicon or not args.words:
+        return None, None
+    from tpuasr.decode.lexicon import Lexicon, LexiconDecoder, SymbolTable
+    words = SymbolTable.load(args.words)
+    units = load_units(args.units)
+    phones = SymbolTable.from_list(units) if units else None
+    if phones is None:
+        raise SystemExit("--lexicon requires --units (unit symbol table)")
+    lex = Lexicon.load(args.lexicon, words, phones)
+    return LexiconDecoder(lex, word_score=1.0), words

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuasr.cli.common import (add_common_flags, feature_config, load_units,
-                               tokens_to_text)
+                               make_word_decoder, tokens_to_text)
 from tpuasr.decode import BeamSearchConfig, ctc_beam_search, greedy_decode
 from tpuasr.features import FeatureConfig, Featurizer
 from tpuasr.models import create_model
@@ -82,9 +82,14 @@ def main(argv=None) -> int:
         t, l = greedy_decode(logp, out_lens)
         toks, tok_lens = np.asarray(t), np.asarray(l)
 
+    word_dec, words = make_word_decoder(args)
     for i, path in enumerate(args.wavs):
         seq = toks[i][:tok_lens[i]].tolist()
-        print(f"{path}\t{tokens_to_text(seq, units)}")
+        if word_dec is not None:
+            text = " ".join(words.sym(w) for w in word_dec.decode(seq))
+        else:
+            text = tokens_to_text(seq, units)
+        print(f"{path}\t{text}")
     return 0
 
 

@@ -44,6 +44,7 @@ class FeatureConfig:
     window: str = "hamming"
     periodic_window: bool = True
     center: bool = False             # snip-edges (Kaldi-style) by default
+    dither: float = 0.0              # train-time additive noise scale
     # Framing convention: "kaldi" = frame t covers [t*hop, t*hop+win);
     # "torch" = frame t covers [t*hop, t*hop+n_fft) with the win_length
     # window centered inside the n_fft span (torch.stft semantics).
@@ -223,8 +224,10 @@ class Featurizer:
             parts.append(feat[:, idx, :])
         return jnp.concatenate(parts, axis=-1)
 
-    def _featurize(self, wav, lengths):
+    def _featurize(self, wav, lengths, dither_key=None):
         c = self.cfg
+        if c.dither > 0.0 and dither_key is not None:
+            wav = wav + c.dither * jax.random.normal(dither_key, wav.shape)
         wav = self._preemphasize(wav)
         frames = self._frame(wav)
         power = self._power_spectrum(frames)

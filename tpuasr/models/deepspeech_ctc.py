@@ -25,6 +25,7 @@ class DeepSpeechCTC(nn.Module):
     conv_channels: int = 32
     dropout: float = 0.1
     axis_name: str | None = None   # for cross-device BN stats sync
+    pallas_gru: bool = False       # VMEM-resident-weights GRU kernel
 
     @nn.compact
     def __call__(self, feats, feat_lens, train: bool = False):
@@ -56,7 +57,8 @@ class DeepSpeechCTC(nn.Module):
             x = MaskedBatchNorm(use_running_average=not train,
                                 axis_name=self.axis_name,
                                 name=f"rnn{i}_bn")(x, mask)
-            x = BiGRU(self.rnn_hidden, name=f"rnn{i}")(x, out_lens)
+            x = BiGRU(self.rnn_hidden, name=f"rnn{i}",
+                      use_pallas=self.pallas_gru)(x, out_lens)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
 

@@ -84,6 +84,7 @@ class GRULayer(nn.Module):
 
     hidden: int
     reverse: bool = False
+    use_pallas: bool = False   # VMEM-resident-weights Pallas scan kernel
 
     @nn.compact
     def __call__(self, x, lengths):
@@ -98,6 +99,17 @@ class GRULayer(nn.Module):
 
         xp = (x.reshape(B * T, D) @ wx + b).reshape(B, T, 3 * H)
         mask = sequence_mask(lengths, T)
+
+        if self.use_pallas:
+            from tpuasr.ops import gru_scan
+            ys = gru_scan(jnp.transpose(xp, (1, 0, 2)),
+                          wh,
+                          jnp.transpose(mask, (1, 0))[:, :, None]
+                          .astype(xp.dtype))
+            y = jnp.transpose(ys, (1, 0, 2))
+            if self.reverse:
+                y = reverse_sequences(y, lengths)
+            return y * mask[:, :, None]
 
         def step(h, inp):
             xp_t, m_t = inp
@@ -131,9 +143,12 @@ class BiGRU(nn.Module):
     """Bidirectional GRU: concat of forward and reverse GRULayers."""
 
     hidden: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, lengths):
-        fwd = GRULayer(self.hidden, reverse=False, name="fwd")(x, lengths)
-        bwd = GRULayer(self.hidden, reverse=True, name="bwd")(x, lengths)
+        fwd = GRULayer(self.hidden, reverse=False, name="fwd",
+                       use_pallas=self.use_pallas)(x, lengths)
+        bwd = GRULayer(self.hidden, reverse=True, name="bwd",
+                       use_pallas=self.use_pallas)(x, lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)

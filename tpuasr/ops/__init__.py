@@ -1,0 +1,6 @@
+"""Pallas TPU kernels for hot ops (the rebuild's device-native layer,
+complementing tpuasr/losses/ctc_pallas.py and features/pallas_fused.py)."""
+
+from tpuasr.ops.pallas_gru import gru_scan
+
+__all__ = ["gru_scan"]
