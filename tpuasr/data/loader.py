@@ -24,6 +24,10 @@ class LoaderConfig:
     drop_last: bool = False
     max_waste: float = 0.2
     max_buckets: int = 6
+    # When set (a FeatureConfig), batches also carry per-frame labels
+    # derived from utterance `segments` (frame-wise training; reference's
+    # CapsNet/SSVAE mode): batch["frame_labels"] (B, T_frames) i32, blank=0.
+    frame_label_cfg: object = None
 
 
 class AudioLoader:
@@ -113,9 +117,23 @@ class AudioLoader:
             token_lens[j] = len(toks)
             real[j] = u.id not in seen
             seen.add(u.id)
-        return dict(wav=wav, wav_lens=wav_lens, tokens=tokens,
-                    token_lens=token_lens, ids=[u.id for u in utts],
-                    real=real)
+        out = dict(wav=wav, wav_lens=wav_lens, tokens=tokens,
+                   token_lens=token_lens, ids=[u.id for u in utts],
+                   real=real)
+        fc = self.cfg.frame_label_cfg
+        if fc is not None:
+            from tpuasr.features.reference import num_frames
+            T = int(num_frames(fc, S))
+            fl = np.zeros((B, max(T, 1)), np.int32)
+            for j, u in enumerate(utts):
+                for tok, s0, s1 in u.segments:
+                    # Label frames whose center falls inside the segment.
+                    center0 = fc.win_length // 2
+                    t0 = max(0, -(-(s0 - center0) // fc.hop_length))
+                    t1 = min(T, (s1 - center0) // fc.hop_length + 1)
+                    fl[j, t0:t1] = tok
+            out["frame_labels"] = fl
+        return out
 
     def __iter__(self):
         for chunk in self.batch_plan(self.epoch):

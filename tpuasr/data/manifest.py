@@ -22,6 +22,9 @@ class Utterance:
     text: str = ""
     num_samples: int = 0
     sample_rate: int = 8000
+    # Optional time-aligned segments for frame-wise training (reference's
+    # CapsNet/SSVAE usage): [[token, start_sample, end_sample], ...]
+    segments: list = dataclasses.field(default_factory=list)
 
     @property
     def duration(self) -> float:

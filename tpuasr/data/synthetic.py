@@ -44,6 +44,8 @@ def make_synthetic_corpus(root, num_utts: int = 32, vocab_size: int = 8,
     for i in range(num_utts):
         n_tok = int(rng.integers(min_tokens, max_tokens + 1))
         toks = rng.integers(1, vocab_size, size=n_tok).tolist()
+        segments = [[int(k), j * tone_n, (j + 1) * tone_n]
+                    for j, k in enumerate(toks)]
         segs = []
         for k in toks:
             freq = 300.0 + 170.0 * k
@@ -67,7 +69,8 @@ def make_synthetic_corpus(root, num_utts: int = 32, vocab_size: int = 8,
         utts.append(Utterance(
             id=name, wav=str(path), tokens=[int(t) for t in toks],
             text=" ".join(f"t{t}" for t in toks),
-            num_samples=len(wav16), sample_rate=sample_rate))
+            num_samples=len(wav16), sample_rate=sample_rate,
+            segments=segments))
     manifest = root / f"{split}.jsonl"
     write_manifest(manifest, utts)
     vocab = ["<blank>"] + [f"t{k}" for k in range(1, vocab_size)]

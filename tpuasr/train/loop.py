@@ -52,6 +52,11 @@ class TrainConfig:
     bf16_compute: bool = False
     ctc_impl: str = "fb"             # ref | fb | pallas
     fused_featurizer: bool = False   # Pallas fused featurizer kernel
+    # Objective: "ctc" (sequence training) or "framewise_ce" (per-frame
+    # cross-entropy on aligned frame labels — the reference's CapsNet/SSVAE
+    # frame-classifier mode; requires LoaderConfig.frame_label_cfg).
+    objective: str = "ctc"
+    label_stride: int = 2            # model time downsampling for framewise
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -133,10 +138,20 @@ class Trainer:
             logp, out_lens = self.model.apply(variables, feats, flens,
                                               train=False)
             new_stats = batch_stats
-        losses = self._ctc(logp.astype(jnp.float32), batch["tokens"],
-                           out_lens, batch["token_lens"])
         w = batch["real"].astype(jnp.float32)
-        loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+        if self.cfg.objective == "framewise_ce":
+            logp32 = logp.astype(jnp.float32)
+            Tp = logp32.shape[1]
+            fl = batch["frame_labels"][:, ::self.cfg.label_stride][:, :Tp]
+            fl = jnp.pad(fl, ((0, 0), (0, Tp - fl.shape[1])))
+            fmask = (jnp.arange(Tp)[None, :] < out_lens[:, None])
+            fmask = fmask.astype(jnp.float32) * w[:, None]
+            ce = -jnp.take_along_axis(logp32, fl[:, :, None], axis=2)[..., 0]
+            loss = jnp.sum(ce * fmask) / jnp.maximum(jnp.sum(fmask), 1.0)
+        else:
+            losses = self._ctc(logp.astype(jnp.float32), batch["tokens"],
+                               out_lens, batch["token_lens"])
+            loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
         return loss, (new_stats, logp, out_lens)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
