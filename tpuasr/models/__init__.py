@@ -15,14 +15,18 @@ Registry maps the reference's CLI model names to constructors.
 
 from tpuasr.models.deepspeech_ctc import DeepSpeechCTC
 from tpuasr.models.resnet_ctc import ResNetCTC
+from tpuasr.models.resnet_ed import ResNetED
 from tpuasr.models.capsnet import CapsNetCTC
+from tpuasr.models.ssvae import SSVAEAM
 
 MODEL_REGISTRY = {
     # reference name -> (constructor, default kwargs)
     "resnet_ctc": ResNetCTC,
+    "resnet_ed": ResNetED,
     "deepspeech_ctc": DeepSpeechCTC,
     "deepspeech_var": DeepSpeechCTC,   # variant: configured via kwargs
     "capsule1": CapsNetCTC,
+    "ssvae": SSVAEAM,
 }
 
 

@@ -23,15 +23,14 @@ from tpuasr.models.layers import conv_out_length, sequence_mask
 class ResBlock(nn.Module):
     channels: int
     freq_stride: int = 1
-    train: bool = False
 
     @nn.compact
-    def __call__(self, x, tmask):
+    def __call__(self, x, tmask, train: bool = False):
         # tmask (B, T', 1, 1): BN's bias turns padded zeros nonzero, and the
         # next conv's receptive field would leak them into valid frames — so
         # padding is re-zeroed between the two convs, not just between blocks.
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not self.train, momentum=0.9, name=name,
+            use_running_average=not train, momentum=0.9, name=name,
             axis_name=None)
         y = nn.Conv(self.channels, (3, 3), strides=(1, self.freq_stride),
                     padding="SAME", use_bias=False, name="conv1")(x)
@@ -78,8 +77,8 @@ class ResNetCTC(nn.Module):
         for si, ch in enumerate(self.stage_channels):
             for bi in range(self.blocks_per_stage):
                 fs = 2 if (bi == 0 and si > 0) else 1
-                x = ResBlock(ch, freq_stride=fs, train=train,
-                             name=f"stage{si}_block{bi}")(x, tmask)
+                x = ResBlock(ch, freq_stride=fs,
+                             name=f"stage{si}_block{bi}")(x, tmask, train)
 
         # Collapse the remaining freq axis into channels: (B, T', F'*C)
         B, Tp = x.shape[0], x.shape[1]

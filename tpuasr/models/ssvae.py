@@ -60,6 +60,35 @@ class SSVAE(nn.Module):
         return dict(logits=logits, rec=rec, kl=kl, x_mu=x_mu)
 
 
+class SSVAEAM(nn.Module):
+    """AM-interface adapter: per-frame classifier head of the SSVAE over
+    (optionally spliced) feature frames — (B, T, F) -> (B, T, C) log-probs,
+    out_lens = feat_lens (no time downsampling). Registered as the "ssvae"
+    model so the standard Trainer (framewise_ce objective) and predict/test
+    CLIs can drive it; the semi-supervised ELBO path uses SSVAE/SSVAELoss
+    directly.
+    """
+
+    num_classes: int
+    latent_dim: int = 32
+    hidden: tuple = (256, 256)
+
+    @nn.compact
+    def __call__(self, feats, feat_lens, train: bool = False):
+        B, T, F = feats.shape
+        x = feats.reshape(B * T, F)
+        ssvae = SSVAE(num_classes=self.num_classes,
+                      latent_dim=self.latent_dim, hidden=self.hidden,
+                      name="ssvae")
+        rng = (self.make_rng("latent") if self.has_rng("latent")
+               else jax.random.PRNGKey(0))
+        out = ssvae(x, jnp.zeros((B * T, self.num_classes)), rng)
+        logp = jax.nn.log_softmax(out["logits"], -1).reshape(B, T, -1)
+        mask = (jnp.arange(T)[None, :] < feat_lens[:, None])
+        logp = jnp.where(mask[:, :, None], logp, 0.0)
+        return logp, feat_lens
+
+
 @dataclasses.dataclass(frozen=True)
 class SSVAELoss:
     num_classes: int

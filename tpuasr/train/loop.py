@@ -104,11 +104,18 @@ class Trainer:
         feats, flens = self.featurizer._jit(
             jnp.asarray(sample_batch["wav"]),
             jnp.asarray(sample_batch["wav_lens"]))
+        init_kwargs = {}
+        if self.cfg.objective == "seq2seq_ce":
+            # Decoder params only materialize on the teacher-forcing path.
+            tokens = jnp.asarray(sample_batch["tokens"])
+            init_kwargs = dict(
+                labels_in=jnp.zeros_like(tokens),
+                label_lens=jnp.asarray(sample_batch["token_lens"]))
         # jit the init: eager init would dispatch every op separately, which
         # is pathologically slow under the remote-compile TPU plugin.
         variables = jax.jit(self.model.init,
                             static_argnames=("train",))(
-                                rng, feats, flens, train=False)
+                                rng, feats, flens, train=False, **init_kwargs)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.optimizer.init(params)
@@ -129,16 +136,36 @@ class Trainer:
         if self.cfg.bf16_compute:
             feats = feats.astype(jnp.bfloat16)
         variables = {"params": params, "batch_stats": batch_stats}
+        seq2seq = self.cfg.objective == "seq2seq_ce"
+        kwargs = {}
+        if seq2seq:
+            # Teacher-forced decoder (ResNetED): BOS = blank id 0; the model
+            # returns decoder logits (B, U, C) instead of CTC log-probs.
+            tokens = batch["tokens"]
+            kwargs = dict(
+                labels_in=jnp.concatenate(
+                    [jnp.zeros_like(tokens[:, :1]), tokens[:, :-1]], axis=1),
+                label_lens=batch["token_lens"])
         if train:
             (logp, out_lens), updates = self.model.apply(
                 variables, feats, flens, train=True, mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng})
+                rngs={"dropout": dropout_rng}, **kwargs)
             new_stats = updates.get("batch_stats", batch_stats)
         else:
             logp, out_lens = self.model.apply(variables, feats, flens,
-                                              train=False)
+                                              train=False, **kwargs)
             new_stats = batch_stats
         w = batch["real"].astype(jnp.float32)
+        if seq2seq:
+            tokens = batch["tokens"]
+            lsm = jax.nn.log_softmax(logp.astype(jnp.float32), -1)
+            ce = -jnp.take_along_axis(lsm, tokens[:, :, None],
+                                      axis=2)[..., 0]
+            lmask = (jnp.arange(tokens.shape[1])[None, :]
+                     < batch["token_lens"][:, None]).astype(jnp.float32)
+            lmask = lmask * w[:, None]
+            loss = jnp.sum(ce * lmask) / jnp.maximum(jnp.sum(lmask), 1.0)
+            return loss, (new_stats, lsm, out_lens)
         if self.cfg.objective == "framewise_ce":
             logp32 = logp.astype(jnp.float32)
             Tp = logp32.shape[1]
