@@ -31,11 +31,18 @@ def main() -> int:
     SR = 8000
     NUM_CLASSES = 64            # ASpIRE-style phone inventory scale
     S = int(SR * SECONDS)
+    on_tpu = jax.default_backend() == "tpu"
 
     feat_cfg = FeatureConfig(sample_rate=SR, n_mels=64)
-    fz = Featurizer(feat_cfg)
+    if on_tpu:
+        from tpuasr.features.pallas_fused import FusedFeaturizer
+        fz = FusedFeaturizer(feat_cfg)
+    else:
+        fz = Featurizer(feat_cfg)
+    # pallas_gru: VMEM-resident recurrent weights (compiled path only —
+    # interpreter mode on CPU would be slower than the XLA scan).
     model = create_model("deepspeech_ctc", num_classes=NUM_CLASSES,
-                         rnn_hidden=512, rnn_layers=4)
+                         rnn_hidden=512, rnn_layers=4, pallas_gru=on_tpu)
 
     rng = np.random.default_rng(0)
     wav = rng.standard_normal((B, S)).astype(np.float32) * 0.1

@@ -28,8 +28,11 @@ def main():
         token_lens=np.full((B,), U, np.int32),
         real=np.ones((B,), bool),
     )
+    import jax as _jax
     cfg = TrainConfig(model="deepspeech_ctc", num_classes=64,
-                      warmup_steps=1)
+                      warmup_steps=1,
+                      model_kwargs=dict(
+                          pallas_gru=_jax.default_backend() == "tpu"))
     trainer = Trainer(cfg, FeatureConfig())
     state = trainer.init_state(batch)
     dbatch = trainer._device_batch(batch)

@@ -31,8 +31,10 @@ def main():
     wav = jnp.asarray(synth_wav(rng, B, SECONDS))
     lens = jnp.full((B,), wav.shape[1], jnp.int32)
 
+    on_tpu = jax.default_backend() == "tpu"
     fz = FusedFeaturizer(FeatureConfig())
-    model = create_model("deepspeech_ctc", num_classes=64)
+    model = create_model("deepspeech_ctc", num_classes=64,
+                         pallas_gru=on_tpu)
     feats0, flens0 = fz._jit(wav, lens)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), feats0, flens0, train=False)
