@@ -35,6 +35,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint file or dir to resume from")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--ckpt-every-steps", type=int, default=500)
+    p.add_argument("--objective", default="ctc",
+                   choices=["ctc", "framewise_ce", "seq2seq_ce"])
+    p.add_argument("--ctc-impl", default="fb",
+                   choices=["ref", "fb", "pallas"],
+                   help="CTC loss implementation (pallas = TPU kernel)")
+    p.add_argument("--fused-featurizer", action="store_true",
+                   help="Pallas fused featurizer kernel (TPU)")
+    p.add_argument("--pallas-gru", action="store_true",
+                   help="VMEM-resident-weights GRU kernel (deepspeech, TPU)")
     return p
 
 
@@ -45,14 +54,23 @@ def main(argv=None) -> int:
     if not num_classes:
         raise SystemExit("--num-classes or --units is required")
     ckpt_dir = args.checkpoint_dir or f"{args.log_dir}/ckpt"
+    model_kwargs = {}
+    if args.pallas_gru and args.model in ("deepspeech_ctc",
+                                          "deepspeech_var"):
+        model_kwargs["pallas_gru"] = True
     cfg = TrainConfig(
         model=args.model, num_classes=num_classes, optimizer=args.optimizer,
         lr=args.lr, grad_clip=args.grad_clip, warmup_steps=args.warmup_steps,
         num_epochs=args.num_epochs, seed=args.seed, log_every=args.log_every,
         ckpt_dir=ckpt_dir, ckpt_every_steps=args.ckpt_every_steps,
-        continue_from=args.continue_from)
+        continue_from=args.continue_from, objective=args.objective,
+        ctc_impl=args.ctc_impl, fused_featurizer=args.fused_featurizer,
+        model_kwargs=model_kwargs)
+    feat_cfg = feature_config(args)
     lcfg = LoaderConfig(batch_size=args.batch_size,
-                        max_label_len=args.max_label_len, seed=args.seed)
+                        max_label_len=args.max_label_len, seed=args.seed,
+                        frame_label_cfg=(feat_cfg if args.objective ==
+                                         "framewise_ce" else None))
     train_loader = AudioLoader(args.train_manifest, lcfg)
     dev_loader = (AudioLoader(args.dev_manifest,
                               LoaderConfig(batch_size=args.batch_size,

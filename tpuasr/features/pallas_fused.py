@@ -52,7 +52,8 @@ def _fused_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref,
 
 
 @functools.lru_cache(maxsize=16)
-def _build_call(B: int, win_pad: int, f_pad: int, out_dim: int, n_tb: int):
+def _build_call(B: int, win_pad: int, f_pad: int, out_dim: int, n_tb: int,
+                interpret: bool = False):
     return pl.pallas_call(
         _fused_kernel,
         grid=(B, n_tb),
@@ -72,6 +73,7 @@ def _build_call(B: int, win_pad: int, f_pad: int, out_dim: int, n_tb: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_tb * T_BLK, out_dim),
                                        jnp.float32),
+        interpret=interpret,
     )
 
 
@@ -133,7 +135,7 @@ class FusedFeaturizer:
         frames = jnp.pad(
             frames, ((0, 0), (0, 0), (0, self._win_pad - c.win_length)))
         call = _build_call(B, self._win_pad, self._f_pad, self._proj_pad,
-                           n_tb)
+                           n_tb, jax.default_backend() != "tpu")
         mel = call(frames, self._window, self._cos, self._sin, self._proj)
         mel = mel[:, :T, :self._proj_dim]
         return jnp.log(jnp.maximum(mel, c.log_floor))

@@ -36,6 +36,13 @@ B_BLK = 8          # fp32 sublane tile
 T_BLK = 128        # frames per grid step (VMEM block: T_BLK*B_BLK*S_pad*4)
 
 
+def _interpret() -> bool:
+    # Compiled Mosaic only exists on TPU; elsewhere run the kernels in the
+    # Pallas interpreter (slow but correct — keeps CPU usage working).
+    return jax.default_backend() != "tpu"
+
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -128,7 +135,7 @@ def _beta_kernel(lpn_ref, allow_fwd_ref, valid_ref, init_ref, lens_ref,
 
 
 @functools.lru_cache(maxsize=32)
-def _build_alpha_call(T: int, Bp: int, S_pad: int):
+def _build_alpha_call(T: int, Bp: int, S_pad: int, interpret: bool = False):
     n_b, n_t = Bp // B_BLK, T // T_BLK
     grid = (n_b, n_t)
     return pl.pallas_call(
@@ -146,11 +153,12 @@ def _build_alpha_call(T: int, Bp: int, S_pad: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, Bp, S_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B_BLK, S_pad), jnp.float32)],
+        interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=32)
-def _build_beta_call(T: int, Bp: int, S_pad: int):
+def _build_beta_call(T: int, Bp: int, S_pad: int, interpret: bool = False):
     n_b, n_t = Bp // B_BLK, T // T_BLK
     grid = (n_b, n_t)
     rev_t = lambda b, t: (n_t - 1 - t, b, 0)
@@ -174,6 +182,7 @@ def _build_beta_call(T: int, Bp: int, S_pad: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, Bp, S_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B_BLK, S_pad), jnp.float32)],
+        interpret=interpret,
     )
 
 
@@ -214,7 +223,8 @@ def ctc_alphas_pallas(log_probs, labels, input_lengths, label_lengths,
     """Kernel-computed alphas (T, B, S) + per-sample final log-lik (B,)."""
     lp_ext_p, allow_p, valid_p, meta = _prepare(
         log_probs, labels, input_lengths, label_lengths, blank)
-    call = _build_alpha_call(meta["Tp"], meta["Bp"], meta["S_pad"])
+    call = _build_alpha_call(meta["Tp"], meta["Bp"], meta["S_pad"],
+                             _interpret())
     alphas_p = call(lp_ext_p, allow_p, valid_p)
     alphas = alphas_p[:meta["T"], :meta["B"], :meta["S"]]
     ll = _final_ll(alphas, input_lengths, label_lengths)
@@ -259,7 +269,7 @@ def ctc_betas_pallas(log_probs, labels, input_lengths, label_lengths,
     lens = jnp.pad(input_lengths.astype(jnp.int32), (0, Bp - B),
                    constant_values=1)[:, None]
     t_scalar = jnp.array([Tp], jnp.int32)
-    call = _build_beta_call(Tp, Bp, S_pad)
+    call = _build_beta_call(Tp, Bp, S_pad, _interpret())
     betas_p = call(lpn, allow_fwd, valid_p, beta_init, lens, t_scalar)
     return betas_p[:T, :B, :S], meta
 

@@ -108,7 +108,7 @@ def _bwd_kernel(H, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
 
 
 @functools.lru_cache(maxsize=32)
-def _build_fwd(T: int, B: int, H: int):
+def _build_fwd(T: int, B: int, H: int, interpret: bool = False):
     n_tb = T // T_BLK
     return pl.pallas_call(
         functools.partial(_fwd_kernel, H),
@@ -125,11 +125,12 @@ def _build_fwd(T: int, B: int, H: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=32)
-def _build_bwd(T: int, B: int, H: int):
+def _build_bwd(T: int, B: int, H: int, interpret: bool = False):
     n_tb = T // T_BLK
     rev = lambda t: (n_tb - 1 - t, 0, 0)
     return pl.pallas_call(
@@ -154,6 +155,7 @@ def _build_bwd(T: int, B: int, H: int):
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((H, 3 * H), jnp.float32)],
+        interpret=interpret,
     )
 
 
@@ -186,7 +188,8 @@ def gru_scan(xp, wh, mask):
 def _gru_fwd_impl(xp, wh, mask):
     xp_p, wh_p, mask_p, (T, B, H) = _pad_args(xp, wh, mask)
     Tp, Bp, H3p = xp_p.shape
-    ys = _build_fwd(Tp, Bp, H3p // 3)(xp_p, wh_p, mask_p)
+    ys = _build_fwd(Tp, Bp, H3p // 3,
+                    jax.default_backend() != "tpu")(xp_p, wh_p, mask_p)
     return ys[:T, :B, :H]
 
 
@@ -205,7 +208,9 @@ def _gru_bwd(res, dys):
     # h_{t-1} stream: ys shifted right by one step.
     ysp = jnp.concatenate(
         [jnp.zeros((1, Bp, Hp), ys.dtype), ys_p[:-1]], axis=0)
-    dxp_p, dwh_p = _build_bwd(Tp, Bp, Hp)(xp_p, ysp, wh_p, mask_p, dys_p)
+    dxp_p, dwh_p = _build_bwd(
+        Tp, Bp, Hp, jax.default_backend() != "tpu")(
+            xp_p, ysp, wh_p, mask_p, dys_p)
     # Un-pad.
     dxp = jnp.concatenate(
         [dxp_p[:T, :B, g * Hp:g * Hp + H] for g in range(3)], axis=2)
