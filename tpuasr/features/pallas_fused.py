@@ -140,8 +140,10 @@ class FusedFeaturizer:
         mel = mel[:, :T, :self._proj_dim]
         return jnp.log(jnp.maximum(mel, c.log_floor))
 
-    def _featurize(self, wav, lengths):
+    def _featurize(self, wav, lengths, dither_key=None):
         c = self.cfg
+        if c.dither > 0.0 and dither_key is not None:
+            wav = wav + c.dither * jax.random.normal(dither_key, wav.shape)
         if c.preemphasis > 0:
             prev = jnp.concatenate([wav[:, :1], wav[:, :-1]], axis=1)
             wav = wav - c.preemphasis * prev

@@ -32,7 +32,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_BLK = 8
+def _t_blk(B: int, H: int) -> int:
+    """Frames per grid step, sized to the VMEM budget: the pipeline holds
+    ~2x (double-buffered) xp (T_BLK, B, 3H) + ys (T_BLK, B, H) blocks plus
+    the resident (H, 3H) weights and scratch."""
+    budget = 10 * 2 ** 20                      # leave headroom under 16 MB
+    per_t = B * (4 * H) * 4 * 2                # xp + ys, double-buffered
+    return max(1, min(16, budget // max(per_t, 1)))
 
 
 def _round_up(x, m):
@@ -46,7 +52,7 @@ def _gates(xp_t, hp, H):
     return r, z, n
 
 
-def _fwd_kernel(H, xp_ref, wh_ref, mask_ref, ys_ref, h_scr):
+def _fwd_kernel(H, T_BLK, xp_ref, wh_ref, mask_ref, ys_ref, h_scr):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
@@ -63,7 +69,7 @@ def _fwd_kernel(H, xp_ref, wh_ref, mask_ref, ys_ref, h_scr):
     h_scr[:] = jax.lax.fori_loop(0, T_BLK, body, h_scr[:])
 
 
-def _bwd_kernel(H, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
+def _bwd_kernel(H, T_BLK, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
                 dxp_ref, dwh_ref, dh_scr, dwh_scr):
     n_tb = pl.num_programs(0)
 
@@ -109,9 +115,10 @@ def _bwd_kernel(H, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
 
 @functools.lru_cache(maxsize=32)
 def _build_fwd(T: int, B: int, H: int, interpret: bool = False):
+    T_BLK = _t_blk(B, H)
     n_tb = T // T_BLK
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H),
+        functools.partial(_fwd_kernel, H, T_BLK),
         grid=(n_tb,),
         in_specs=[
             pl.BlockSpec((T_BLK, B, 3 * H), lambda t: (t, 0, 0),
@@ -131,10 +138,11 @@ def _build_fwd(T: int, B: int, H: int, interpret: bool = False):
 
 @functools.lru_cache(maxsize=32)
 def _build_bwd(T: int, B: int, H: int, interpret: bool = False):
+    T_BLK = _t_blk(B, H)
     n_tb = T // T_BLK
     rev = lambda t: (n_tb - 1 - t, 0, 0)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, H),
+        functools.partial(_bwd_kernel, H, T_BLK),
         grid=(n_tb,),
         in_specs=[
             pl.BlockSpec((T_BLK, B, 3 * H), rev, memory_space=pltpu.VMEM),
@@ -162,9 +170,9 @@ def _build_bwd(T: int, B: int, H: int, interpret: bool = False):
 def _pad_args(xp, wh, mask):
     T, B, H3 = xp.shape
     H = H3 // 3
-    Tp = _round_up(T, T_BLK)
     Bp = _round_up(B, 8)
     Hp = _round_up(H, 128)
+    Tp = _round_up(T, _t_blk(Bp, Hp))
     if (Tp, Bp, Hp) == (T, B, H):
         return xp, wh, mask, (T, B, H)
     xp_p = jnp.zeros((Tp, Bp, 3 * Hp), xp.dtype)

@@ -24,9 +24,9 @@ from tpuasr.decode import greedy_decode
 from tpuasr.features import FeatureConfig, Featurizer
 from tpuasr.losses import get_ctc_loss
 from tpuasr.models import create_model
-from tpuasr.parallel import (batch_sharding, make_mesh, replicated_sharding,
+from tpuasr.parallel import (make_mesh, replicated_sharding,
                              shard_batch)
-from tpuasr.train.checkpoints import (latest_checkpoint, restore_checkpoint,
+from tpuasr.train.checkpoints import (restore_checkpoint,
                                       save_checkpoint)
 from tpuasr.utils.logger import MetricsWriter, init_logger
 from tpuasr.utils.metrics import wer
@@ -131,8 +131,12 @@ class Trainer:
     # ---- steps ----
 
     def _loss_fn(self, params, batch_stats, batch, dropout_rng, train):
+        dither_key = None
+        if train and self.feat_cfg.dither > 0 and dropout_rng is not None:
+            dither_key = jax.random.fold_in(dropout_rng, 1)
         feats, flens = self.featurizer._featurize(batch["wav"],
-                                                  batch["wav_lens"])
+                                                  batch["wav_lens"],
+                                                  dither_key)
         if self.cfg.bf16_compute:
             feats = feats.astype(jnp.bfloat16)
         variables = {"params": params, "batch_stats": batch_stats}
