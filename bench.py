@@ -26,7 +26,8 @@ def main() -> int:
     from tpuasr.features import FeatureConfig, Featurizer
     from tpuasr.models import create_model
 
-    B = 32                      # utterances per batch
+    B = 128                     # utterances per batch (throughput-optimal
+                                # on v5e: 32->7641x, 64->9162x, 128->9658x RT)
     SECONDS = 10.0              # per utterance
     SR = 8000
     NUM_CLASSES = 64            # ASpIRE-style phone inventory scale

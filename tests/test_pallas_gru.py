@@ -103,3 +103,20 @@ def test_grulayer_pallas_flag(rng):
     np.testing.assert_allclose(
         np.asarray(layer_pr.apply(vr, x, lens)),
         np.asarray(layer_sr.apply(vr, x, lens)), rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_kernel_close_to_f32(rng):
+    """bf16 IO with f32 gate math stays close to the f32 kernel."""
+    B, T, D, H = 2, 20, 12, 16
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    lens = jnp.array([T, T - 7], jnp.int32)
+    f32 = GRULayer(hidden=H, use_pallas=True, bf16_kernel=False)
+    b16 = GRULayer(hidden=H, use_pallas=True, bf16_kernel=True)
+    v = f32.init(jax.random.PRNGKey(0), x, lens)
+    y32 = np.asarray(f32.apply(v, x, lens))
+    y16 = np.asarray(b16.apply(v, x, lens))
+    np.testing.assert_allclose(y16, y32, rtol=0.05, atol=0.05)
+    # Gradients also flow.
+    g = jax.grad(lambda p: jnp.sum(b16.apply(p, x, lens) ** 2))(v)
+    assert all(np.all(np.isfinite(np.asarray(t)))
+               for t in jax.tree_util.tree_leaves(g))

@@ -26,6 +26,7 @@ class DeepSpeechCTC(nn.Module):
     dropout: float = 0.1
     axis_name: str | None = None   # for cross-device BN stats sync
     pallas_gru: bool = False       # VMEM-resident-weights GRU kernel
+    bf16_gru: bool = False         # bf16 IO in the GRU kernel
 
     @nn.compact
     def __call__(self, feats, feat_lens, train: bool = False):
@@ -58,7 +59,8 @@ class DeepSpeechCTC(nn.Module):
                                 axis_name=self.axis_name,
                                 name=f"rnn{i}_bn")(x, mask)
             x = BiGRU(self.rnn_hidden, name=f"rnn{i}",
-                      use_pallas=self.pallas_gru)(x, out_lens)
+                      use_pallas=self.pallas_gru,
+                      bf16_kernel=self.bf16_gru)(x, out_lens)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
 

@@ -85,6 +85,7 @@ class GRULayer(nn.Module):
     hidden: int
     reverse: bool = False
     use_pallas: bool = False   # VMEM-resident-weights Pallas scan kernel
+    bf16_kernel: bool = False  # stream xp/ys/wh in bf16 (f32 gate math)
 
     @nn.compact
     def __call__(self, x, lengths):
@@ -102,11 +103,15 @@ class GRULayer(nn.Module):
 
         if self.use_pallas:
             from tpuasr.ops import gru_scan
-            ys = gru_scan(jnp.transpose(xp, (1, 0, 2)),
-                          wh,
+            xp_t = jnp.transpose(xp, (1, 0, 2))
+            wh_k = wh
+            if self.bf16_kernel:
+                xp_t = xp_t.astype(jnp.bfloat16)
+                wh_k = wh.astype(jnp.bfloat16)
+            ys = gru_scan(xp_t, wh_k,
                           jnp.transpose(mask, (1, 0))[:, :, None]
-                          .astype(xp.dtype))
-            y = jnp.transpose(ys, (1, 0, 2))
+                          .astype(jnp.float32))
+            y = jnp.transpose(ys, (1, 0, 2)).astype(x.dtype)
             if self.reverse:
                 y = reverse_sequences(y, lengths)
             return y * mask[:, :, None]
@@ -144,11 +149,14 @@ class BiGRU(nn.Module):
 
     hidden: int
     use_pallas: bool = False
+    bf16_kernel: bool = False
 
     @nn.compact
     def __call__(self, x, lengths):
         fwd = GRULayer(self.hidden, reverse=False, name="fwd",
-                       use_pallas=self.use_pallas)(x, lengths)
+                       use_pallas=self.use_pallas,
+                       bf16_kernel=self.bf16_kernel)(x, lengths)
         bwd = GRULayer(self.hidden, reverse=True, name="bwd",
-                       use_pallas=self.use_pallas)(x, lengths)
+                       use_pallas=self.use_pallas,
+                       bf16_kernel=self.bf16_kernel)(x, lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)

@@ -59,11 +59,11 @@ def _fwd_kernel(H, T_BLK, xp_ref, wh_ref, mask_ref, ys_ref, h_scr):
 
     def body(tt, h):
         hp = jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32)
-        r, z, n = _gates(xp_ref[tt], hp, H)
+        r, z, n = _gates(xp_ref[tt].astype(jnp.float32), hp, H)
         h_new = (1.0 - z) * n + z * h
         m = mask_ref[tt]                       # (B, 1)
         h_new = m * h_new + (1.0 - m) * h
-        ys_ref[tt] = h_new
+        ys_ref[tt] = h_new.astype(ys_ref.dtype)
         return h_new
 
     h_scr[:] = jax.lax.fori_loop(0, T_BLK, body, h_scr[:])
@@ -80,12 +80,12 @@ def _bwd_kernel(H, T_BLK, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
 
     def body(i, dh):
         tt = T_BLK - 1 - i
-        h_prev = ysp_ref[tt]                   # h_{t-1} (shifted ys)
+        h_prev = ysp_ref[tt].astype(jnp.float32)   # h_{t-1} (shifted ys)
         hp = jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32)
-        r, z, n = _gates(xp_ref[tt], hp, H)
+        r, z, n = _gates(xp_ref[tt].astype(jnp.float32), hp, H)
         m = mask_ref[tt]                       # (B, 1)
 
-        dh_tot = dys_ref[tt] + dh
+        dh_tot = dys_ref[tt].astype(jnp.float32) + dh
         dz = dh_tot * (h_prev - n)
         dn_pre = dh_tot * (1.0 - z) * (1.0 - n * n)
         hn = hp[:, 2 * H:]
@@ -94,7 +94,8 @@ def _bwd_kernel(H, T_BLK, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
         dxz = dz * z * (1.0 - z)
         # dhp gate-concat; all grads masked (padding steps pass h through).
         dhp = jnp.concatenate([dxr, dxz, dn_pre * r], axis=1) * m
-        dxp_ref[tt] = jnp.concatenate([dxr, dxz, dn_pre], axis=1) * m
+        dxp_ref[tt] = (jnp.concatenate([dxr, dxz, dn_pre], axis=1)
+                       * m).astype(dxp_ref.dtype)
         # dh_{t-1} = m*(z*dh + Wh^T dhp) + (1-m)*dh
         dh_rec = dh_tot * z + jax.lax.dot_general(
             dhp, wh_ref[:], (((1,), (1,)), ((), ())),
@@ -114,9 +115,11 @@ def _bwd_kernel(H, T_BLK, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
 
 
 @functools.lru_cache(maxsize=32)
-def _build_fwd(T: int, B: int, H: int, interpret: bool = False):
+def _build_fwd(T: int, B: int, H: int, interpret: bool = False,
+               dtype: str = "float32"):
     T_BLK = _t_blk(B, H)
     n_tb = T // T_BLK
+    io = jnp.dtype(dtype)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, H, T_BLK),
         grid=(n_tb,),
@@ -130,17 +133,19 @@ def _build_fwd(T: int, B: int, H: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((T_BLK, B, H), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), io),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=32)
-def _build_bwd(T: int, B: int, H: int, interpret: bool = False):
+def _build_bwd(T: int, B: int, H: int, interpret: bool = False,
+               dtype: str = "float32"):
     T_BLK = _t_blk(B, H)
     n_tb = T // T_BLK
     rev = lambda t: (n_tb - 1 - t, 0, 0)
+    io = jnp.dtype(dtype)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, H, T_BLK),
         grid=(n_tb,),
@@ -158,7 +163,7 @@ def _build_bwd(T: int, B: int, H: int, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, 3 * H), io),
             jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
@@ -183,7 +188,8 @@ def _pad_args(xp, wh, mask):
     for g in range(3):
         wh_p = wh_p.at[:H, g * Hp:g * Hp + H].set(
             wh[:, g * H:(g + 1) * H])
-    mask_p = jnp.zeros((Tp, Bp, 1), mask.dtype).at[:T, :B].set(mask)
+    mask_p = jnp.zeros((Tp, Bp, 1), jnp.float32).at[:T, :B].set(
+        mask.astype(jnp.float32))
     return xp_p, wh_p, mask_p, (T, B, H)
 
 
@@ -197,7 +203,8 @@ def _gru_fwd_impl(xp, wh, mask):
     xp_p, wh_p, mask_p, (T, B, H) = _pad_args(xp, wh, mask)
     Tp, Bp, H3p = xp_p.shape
     ys = _build_fwd(Tp, Bp, H3p // 3,
-                    jax.default_backend() != "tpu")(xp_p, wh_p, mask_p)
+                    jax.default_backend() != "tpu",
+                    str(xp.dtype))(xp_p, wh_p, mask_p)
     return ys[:T, :B, :H]
 
 
@@ -212,19 +219,20 @@ def _gru_bwd(res, dys):
     Tp, Bp, H3p = xp_p.shape
     Hp = H3p // 3
     ys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(ys)
-    dys_p = jnp.zeros((Tp, Bp, Hp), dys.dtype).at[:T, :B, :H].set(dys)
+    dys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(
+        dys.astype(ys.dtype))
     # h_{t-1} stream: ys shifted right by one step.
     ysp = jnp.concatenate(
         [jnp.zeros((1, Bp, Hp), ys.dtype), ys_p[:-1]], axis=0)
     dxp_p, dwh_p = _build_bwd(
-        Tp, Bp, Hp, jax.default_backend() != "tpu")(
+        Tp, Bp, Hp, jax.default_backend() != "tpu", str(xp.dtype))(
             xp_p, ysp, wh_p, mask_p, dys_p)
     # Un-pad.
     dxp = jnp.concatenate(
         [dxp_p[:T, :B, g * Hp:g * Hp + H] for g in range(3)], axis=2)
     dwh = jnp.concatenate(
         [dwh_p[:H, g * Hp:g * Hp + H] for g in range(3)], axis=1)
-    return dxp, dwh, None
+    return dxp.astype(xp.dtype), dwh.astype(wh.dtype), None
 
 
 gru_scan.defvjp(_gru_fwd, _gru_bwd)
