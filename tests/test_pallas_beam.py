@@ -1,0 +1,65 @@
+"""Pallas beam-search kernel vs the XLA scan version (interpreter mode).
+
+The interpreter executes the unrolled K x K merge at python speed, so these
+tests keep K small; full-size validation (exhaustive + larger problems) runs
+compiled on the TPU (driven in the on-chip verification pass; see also
+benchmarks/wer_delta.py which cross-checks decode paths on a trained model).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuasr.decode import BeamSearchConfig, ctc_beam_search
+from tpuasr.decode.pallas_beam import ctc_beam_search_pallas
+
+needs_interpret = jax.default_backend() != "tpu"
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    if needs_interpret:
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            yield
+    else:
+        yield
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_xla_beam_small(seed):
+    """K=4, all classes on both sides -> identical hypotheses and scores."""
+    rng = np.random.default_rng(seed)
+    B, T, C = 2, 6, 4
+    logits = rng.standard_normal((B, T, C)).astype(np.float32) * 1.5
+    lp = jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    lens = jnp.array([T, T - 2])
+    cfg = BeamSearchConfig(beam_width=4, class_topk=C - 1, max_len=T)
+    a = ctc_beam_search(lp, lens, cfg, n_best=2)
+    b = ctc_beam_search_pallas(lp, lens, cfg, n_best=2)
+    for bi in range(B):
+        for ni in range(2):
+            na = int(a["token_lens"][bi, ni])
+            nb = int(b["token_lens"][bi, ni])
+            assert na == nb, (bi, ni)
+            np.testing.assert_array_equal(
+                np.asarray(a["tokens"])[bi, ni, :na],
+                np.asarray(b["tokens"])[bi, ni, :nb])
+            np.testing.assert_allclose(float(a["scores"][bi, ni]),
+                                       float(b["scores"][bi, ni]),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_respects_lengths(rng):
+    T, C = 8, 4
+    logits = rng.standard_normal((1, T, C)).astype(np.float32)
+    lp = jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    lp2 = lp.at[0, 5:].set(jnp.log(1.0 / C))
+    cfg = BeamSearchConfig(beam_width=4, max_len=T)
+    o1 = ctc_beam_search_pallas(lp, jnp.array([5]), cfg)
+    o2 = ctc_beam_search_pallas(lp2, jnp.array([5]), cfg)
+    np.testing.assert_array_equal(np.asarray(o1["tokens"]),
+                                  np.asarray(o2["tokens"]))
+    np.testing.assert_allclose(np.asarray(o1["scores"]),
+                               np.asarray(o2["scores"]), rtol=1e-6)

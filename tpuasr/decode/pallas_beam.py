@@ -1,0 +1,347 @@
+"""Pallas TPU kernel for CTC prefix beam search — the whole per-frame
+update (stay/extend scoring, hash-join merge, top-K selection) runs inside
+one kernel with ALL beam state resident in VMEM.
+
+Why: the XLA scan version (decode/prefix_beam.py) costs ~150 us/frame at
+B=128 — every step is a fusion boundary parade of tiny (B, K(P+1)) ops. Here
+a frame costs a few microseconds: K is static and small, so the merge and
+selection unroll into masked lane max/select passes over (B_blk, 128)
+registers, with zero HBM traffic except streaming emissions in and
+backpointers out.
+
+Algorithm identical to prefix_beam.py (same stay/extend/merge semantics,
+exact same hash-join structural argument), with two differences:
+  * no top-P class pruning — ALL C classes are candidate extensions (the
+    vectorization makes pruning pointless), so it searches a superset of the
+    XLA version's space;
+  * prefixes are not materialized on device: the kernel emits per-step
+    backpointers (parent beam, extend char) and the wrapper reconstructs
+    token sequences with one cheap reverse scan.
+
+Layout: grid (B_blocks, T_blocks) sequential in T; beams live in lanes
+(K <= 128) of (B_BLK, 128) scratch tiles; emissions lane-padded to C_pad.
+"""
+
+from __future__ import annotations
+
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuasr.decode.prefix_beam import BeamSearchConfig, NEG_INF
+
+B_BLK = 8
+T_BLK = 128
+LANES = 128
+
+_M1 = np.int32(np.uint32(2654435761).astype(np.int64) - (1 << 32))
+_M2 = np.int32(40503)
+_I1 = np.int32(np.uint32(2166136261).astype(np.int64) - (1 << 32))
+_I2 = np.int32(5381)
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    return m + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m))
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _maxlane(x):
+    return jnp.max(x, axis=1, keepdims=True)
+
+
+def _argmax_lane(x):
+    """(B, L) -> (B, 1) index of the max lane (first on ties)."""
+    m = _maxlane(x)
+    eq = x == m
+    lane = _lane_iota(x.shape)
+    return jnp.min(jnp.where(eq, lane, LANES * 1000), axis=1,
+                   keepdims=True), m
+
+
+def _gather_lane(field, idx):
+    """field (B, L), idx (B, 1) -> (B, 1) field[b, idx[b]]."""
+    onehot = _lane_iota(field.shape) == idx
+    return jnp.sum(jnp.where(onehot, field, 0), axis=1, keepdims=True)
+
+
+def _set_lane(arr, lane: int, val):
+    """Write (B,1) val into static lane of (B,L) arr."""
+    return jnp.where(_lane_iota(arr.shape) == lane, val, arr)
+
+
+def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
+                 pb_out, pnb_out,
+                 p_b, p_nb, h1, h2, last):
+    t_blk = pl.program_id(1)
+
+    @pl.when(t_blk == 0)
+    def _():
+        lane = _lane_iota(p_b.shape)
+        p_b[:] = jnp.where(lane == 0, 0.0, NEG_INF)
+        p_nb[:] = jnp.full(p_nb.shape, NEG_INF)
+        h1[:] = _I1 + lane
+        h2[:] = _I2 + lane
+        last[:] = jnp.full(last.shape, -1, jnp.int32)
+
+    def step(tt, _):
+        t_abs = t_blk * t_blk_n + tt
+        lp = lp_ref[tt]                                  # (B_BLK, C_pad)
+        lane_c = _lane_iota(lp.shape)
+        lp_blank = _gather_lane(lp, jnp.full((B_BLK, 1), blank, jnp.int32))
+        lp_nb = jnp.where((lane_c == blank) | (lane_c >= C), NEG_INF, lp)
+
+        cur_pb, cur_pnb = p_b[:], p_nb[:]
+        cur_h1, cur_h2, cur_last = h1[:], h2[:], last[:]
+        p_tot = _logaddexp(cur_pb, cur_pnb)              # (B, K_LANES)
+
+        # ---- stay candidates ----
+        stay_pb = p_tot + lp_blank
+        lp_last = jnp.full((B_BLK, LANES), NEG_INF)
+        for k in range(K):
+            lk = _gather_lane(cur_last, jnp.full((B_BLK, 1), k, jnp.int32))
+            val = _gather_lane(lp, jnp.clip(lk, 0, C - 1))
+            val = jnp.where(lk < 0, NEG_INF, val)
+            lp_last = _set_lane(lp_last, k, val)
+        stay_pnb = cur_pnb + lp_last
+
+        # ---- extend candidates, hash-join into stays ----
+        exts = []
+        absorbed = jnp.full((B_BLK, LANES), NEG_INF)
+        for k in range(K):
+            pbk = _gather_lane(cur_pb, jnp.full((B_BLK, 1), k, jnp.int32))
+            ptk = _gather_lane(p_tot, jnp.full((B_BLK, 1), k, jnp.int32))
+            lastk = _gather_lane(cur_last,
+                                 jnp.full((B_BLK, 1), k, jnp.int32))
+            h1k = _gather_lane(cur_h1, jnp.full((B_BLK, 1), k, jnp.int32))
+            h2k = _gather_lane(cur_h2, jnp.full((B_BLK, 1), k, jnp.int32))
+            is_rep = lane_c == lastk
+            ext = jnp.where(is_rep, pbk, ptk) + lp_nb    # (B, C_pad)
+            eh1 = h1k * _M1 + lane_c + 1
+            eh2 = h2k * _M2 + lane_c + 1
+            any_match = jnp.zeros(ext.shape, bool)
+            for j in range(K):
+                h1j = _gather_lane(cur_h1,
+                                   jnp.full((B_BLK, 1), j, jnp.int32))
+                h2j = _gather_lane(cur_h2,
+                                   jnp.full((B_BLK, 1), j, jnp.int32))
+                match = (eh1 == h1j) & (eh2 == h2j)      # (B, C_pad)
+                # At most one lane matches (hash varies injectively in c).
+                contrib = _maxlane(jnp.where(match, ext, NEG_INF))
+                prev = _gather_lane(absorbed,
+                                    jnp.full((B_BLK, 1), j, jnp.int32))
+                absorbed = jnp.where(
+                    _lane_iota(absorbed.shape) == j,
+                    _logaddexp(prev, contrib), absorbed)
+                any_match = any_match | match
+            exts.append(jnp.where(any_match, NEG_INF, ext))
+        stay_pnb = _logaddexp(stay_pnb, absorbed)
+        stay_tot = _logaddexp(stay_pb, stay_pnb)
+        lane_k = _lane_iota(stay_tot.shape)
+        stay_tot = jnp.where(lane_k < K, stay_tot, NEG_INF)
+
+        # ---- top-K selection across stays + K extend arrays ----
+        new_pb = jnp.full((B_BLK, LANES), NEG_INF)
+        new_pnb = jnp.full((B_BLK, LANES), NEG_INF)
+        new_h1 = _I1 + lane_k + np.int32(7777) * (t_abs + 1)
+        new_h2 = _I2 + lane_k + np.int32(3333) * (t_abs + 1)
+        new_last = jnp.full((B_BLK, LANES), -1, jnp.int32)
+        parents = jnp.zeros((B_BLK, LANES), jnp.int32)
+        chars = jnp.full((B_BLK, LANES), -1, jnp.int32)
+
+        for sel in range(K):
+            s_idx, s_max = _argmax_lane(stay_tot)
+            e_idx, e_max = zip(*[_argmax_lane(e) for e in exts])
+            best = s_max
+            for em in e_max:
+                best = jnp.maximum(best, em)
+            # source resolution, stays win ties
+            take_stay = s_max >= best
+            taken = take_stay
+            take_ext = []
+            for k in range(K):
+                tk = (~taken) & (e_max[k] >= best)
+                take_ext.append(tk)
+                taken = taken | tk
+
+            # Selected state fields, per row.
+            sel_pb = jnp.where(take_stay,
+                               _gather_lane(stay_pb, s_idx), NEG_INF)
+            sel_pnb = jnp.where(take_stay,
+                                _gather_lane(stay_pnb, s_idx), NEG_INF)
+            sel_h1 = jnp.where(take_stay, _gather_lane(cur_h1, s_idx), 0)
+            sel_h2 = jnp.where(take_stay, _gather_lane(cur_h2, s_idx), 0)
+            sel_last = jnp.where(take_stay,
+                                 _gather_lane(cur_last, s_idx), -1)
+            sel_parent = jnp.where(take_stay, s_idx, 0)
+            sel_char = jnp.full((B_BLK, 1), -1, jnp.int32)
+            for k in range(K):
+                tk = take_ext[k]
+                c_idx = e_idx[k]
+                h1k = _gather_lane(cur_h1,
+                                   jnp.full((B_BLK, 1), k, jnp.int32))
+                h2k = _gather_lane(cur_h2,
+                                   jnp.full((B_BLK, 1), k, jnp.int32))
+                sel_pnb = jnp.where(tk, e_max[k], sel_pnb)
+                sel_pb = jnp.where(tk, NEG_INF, sel_pb)
+                sel_h1 = jnp.where(tk, h1k * _M1 + c_idx + 1, sel_h1)
+                sel_h2 = jnp.where(tk, h2k * _M2 + c_idx + 1, sel_h2)
+                sel_last = jnp.where(tk, c_idx, sel_last)
+                sel_parent = jnp.where(tk,
+                                       jnp.full((B_BLK, 1), k, jnp.int32),
+                                       sel_parent)
+                sel_char = jnp.where(tk, c_idx, sel_char)
+
+            # Dead selections (fewer than K live candidates) must NOT
+            # inherit an existing hash — duplicate-hash beams would double-
+            # absorb extend mass. Give them fresh per-(lane, t) hashes.
+            dead = _logaddexp(sel_pb, sel_pnb) <= NEG_INF * 0.5
+            fresh1 = _I1 + np.int32(sel) + np.int32(7777) * (t_abs + 1)
+            fresh2 = _I2 + np.int32(sel) + np.int32(3333) * (t_abs + 1)
+            sel_h1 = jnp.where(dead, fresh1, sel_h1)
+            sel_h2 = jnp.where(dead, fresh2, sel_h2)
+            sel_last = jnp.where(dead, -1, sel_last)
+            sel_char = jnp.where(dead, -1, sel_char)
+            sel_parent = jnp.where(dead, jnp.full((B_BLK, 1), sel,
+                                                  jnp.int32), sel_parent)
+
+            # Write into beam lane `sel`.
+            new_pb = _set_lane(new_pb, sel, sel_pb)
+            new_pnb = _set_lane(new_pnb, sel, sel_pnb)
+            new_h1 = _set_lane(new_h1, sel, sel_h1)
+            new_h2 = _set_lane(new_h2, sel, sel_h2)
+            new_last = _set_lane(new_last, sel, sel_last)
+            parents = _set_lane(parents, sel, sel_parent)
+            chars = _set_lane(chars, sel, sel_char)
+
+            # Remove the chosen candidate from its source.
+            stay_hit = take_stay & (lane_k == s_idx)
+            stay_tot = jnp.where(stay_hit, NEG_INF, stay_tot)
+            for k in range(K):
+                hit = take_ext[k] & (lane_c == e_idx[k])
+                exts[k] = jnp.where(hit, NEG_INF, exts[k])
+
+        # ---- freeze finished rows ----
+        live = (t_abs < lens_ref[:]).astype(jnp.float32)  # (B_BLK, 1)
+        livb = live > 0.5
+        p_b[:] = jnp.where(livb, new_pb, cur_pb)
+        p_nb[:] = jnp.where(livb, new_pnb, cur_pnb)
+        h1[:] = jnp.where(livb, new_h1, cur_h1)
+        h2[:] = jnp.where(livb, new_h2, cur_h2)
+        last[:] = jnp.where(livb, new_last, cur_last)
+        parent_ref[tt] = jnp.where(livb, parents, lane_k)
+        char_ref[tt] = jnp.where(livb, chars,
+                                 jnp.full(chars.shape, -1, jnp.int32))
+        return 0
+
+    jax.lax.fori_loop(0, t_blk_n, step, 0)
+    pb_out[:] = p_b[:]
+    pnb_out[:] = p_nb[:]
+
+
+@functools.lru_cache(maxsize=16)
+def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
+           t_blk_n: int, interpret: bool):
+    n_b = Bp // B_BLK
+    n_t = Tp // t_blk_n
+    return pl.pallas_call(
+        functools.partial(_beam_kernel, K, C, blank, t_blk_n),
+        grid=(n_b, n_t),
+        in_specs=[
+            pl.BlockSpec((t_blk_n, B_BLK, C_pad), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 1), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_blk_n, B_BLK, LANES), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_blk_n, B_BLK, LANES), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, LANES), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, LANES), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, Bp, LANES), jnp.int32),   # parent
+            jax.ShapeDtypeStruct((Tp, Bp, LANES), jnp.int32),   # char
+            jax.ShapeDtypeStruct((Bp, LANES), jnp.float32),     # p_b
+            jax.ShapeDtypeStruct((Bp, LANES), jnp.float32),     # p_nb
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B_BLK, LANES), jnp.float32),
+            pltpu.VMEM((B_BLK, LANES), jnp.float32),
+            pltpu.VMEM((B_BLK, LANES), jnp.int32),
+            pltpu.VMEM((B_BLK, LANES), jnp.int32),
+            pltpu.VMEM((B_BLK, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
+                           n_best: int = 1):
+    """Drop-in for decode.ctc_beam_search, Pallas kernel implementation.
+
+    cfg.class_topk is ignored (all classes considered — a superset search);
+    cfg.max_len only caps the reconstructed token buffer.
+    """
+    if cfg is None:
+        cfg = BeamSearchConfig()
+    K = cfg.beam_width
+    if K > LANES:
+        raise ValueError(f"beam_width {K} > {LANES}")
+    B, T, C = log_probs.shape
+    Bp = _round_up(B, B_BLK)
+    t_blk_n = T_BLK if T >= T_BLK else max(1, _round_up(T, 8) // 1)
+    Tp = _round_up(T, t_blk_n)
+    C_pad = _round_up(C, LANES)
+    lp = jnp.full((Tp, Bp, C_pad), NEG_INF, jnp.float32)
+    lp = lp.at[:T, :B, :C].set(
+        jnp.transpose(log_probs, (1, 0, 2)).astype(jnp.float32))
+    lens = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(
+        jnp.asarray(lengths, jnp.int32))
+    call = _build(Tp, Bp, C_pad, K, C, cfg.blank, t_blk_n,
+                  jax.default_backend() != "tpu")
+    parent, char, pb, pnb = call(lp, lens)
+
+    total = _logaddexp(pb[:B, :K], pnb[:B, :K])
+    score, beam_idx = jax.lax.top_k(total, n_best)      # (B, n_best)
+
+    # ---- backpointer reconstruction: one reverse scan over T ----
+    parent = parent[:T, :B, :]                          # (T, B, LANES)
+    char = char[:T, :B, :]
+
+    def back(cur, inp):
+        par_t, chr_t = inp                              # (B, LANES)
+        c = jnp.take_along_axis(chr_t, cur, axis=1)     # (B, n_best)
+        p = jnp.take_along_axis(par_t, cur, axis=1)
+        return p, c
+
+    _, toks_rev = jax.lax.scan(back, beam_idx, (parent[::-1], char[::-1]))
+    toks_rev = jnp.transpose(toks_rev, (1, 2, 0))       # (B, n_best, T)
+    toks = toks_rev[:, :, ::-1]                         # chronological
+    # Left-compact non-(-1) entries into a max_len buffer.
+    keep = toks >= 0
+    pos = jnp.cumsum(keep, axis=2) - 1
+    L = cfg.max_len
+    pos = jnp.where(keep & (pos < L), pos, L)
+    out = jnp.full((B, n_best, L + 1), -1, jnp.int32)
+    b_idx = jnp.arange(B)[:, None, None]
+    n_idx = jnp.arange(n_best)[None, :, None]
+    out = out.at[b_idx, n_idx, pos].set(jnp.where(keep, toks, -1))
+    token_lens = jnp.minimum(jnp.sum(keep, axis=2), L).astype(jnp.int32)
+    return dict(tokens=out[:, :, :L], token_lens=token_lens, scores=score)

@@ -27,6 +27,7 @@ class DeepSpeechCTC(nn.Module):
     axis_name: str | None = None   # for cross-device BN stats sync
     pallas_gru: bool = False       # VMEM-resident-weights GRU kernel
     bf16_gru: bool = False         # bf16 IO in the GRU kernel
+    fused_bidir: bool = False      # both directions in one kernel
 
     @nn.compact
     def __call__(self, feats, feat_lens, train: bool = False):
@@ -60,7 +61,8 @@ class DeepSpeechCTC(nn.Module):
                                 name=f"rnn{i}_bn")(x, mask)
             x = BiGRU(self.rnn_hidden, name=f"rnn{i}",
                       use_pallas=self.pallas_gru,
-                      bf16_kernel=self.bf16_gru)(x, out_lens)
+                      bf16_kernel=self.bf16_gru,
+                      fused_bidir=self.fused_bidir)(x, out_lens)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
 

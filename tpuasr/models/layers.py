@@ -150,9 +150,44 @@ class BiGRU(nn.Module):
     hidden: int
     use_pallas: bool = False
     bf16_kernel: bool = False
+    # One kernel advancing BOTH directions in lockstep: the two per-step
+    # recurrent dots are independent, so the MXU pipelines one direction's
+    # matmul under the other's VPU gate math. NOTE: different checkpoint
+    # param layout than the unfused path (flags are stored in ckpt meta, so
+    # save/restore round-trips consistently).
+    fused_bidir: bool = False
 
     @nn.compact
     def __call__(self, x, lengths):
+        if self.fused_bidir:
+            from tpuasr.ops.pallas_gru import gru_scan_bidir
+            B, T, D = x.shape
+            H = self.hidden
+            mk = lambda pre: (
+                self.param(f"{pre}_wx", nn.initializers.lecun_normal(),
+                           (D, 3 * H)),
+                self.param(f"{pre}_wh", nn.initializers.orthogonal(),
+                           (H, 3 * H)),
+                self.param(f"{pre}_b", nn.initializers.zeros, (3 * H,)))
+            wx_f, wh_f, b_f = mk("fwd")
+            wx_b, wh_b, b_b = mk("bwd")
+            mask = sequence_mask(lengths, T)
+            x_rev = reverse_sequences(x, lengths)
+            xp_f = (x.reshape(B * T, D) @ wx_f + b_f).reshape(B, T, 3 * H)
+            xp_b = (x_rev.reshape(B * T, D) @ wx_b + b_b).reshape(
+                B, T, 3 * H)
+            cd = jnp.bfloat16 if self.bf16_kernel else x.dtype
+            ysf, ysb = gru_scan_bidir(
+                jnp.transpose(xp_f, (1, 0, 2)).astype(cd),
+                jnp.transpose(xp_b, (1, 0, 2)).astype(cd),
+                wh_f.astype(cd), wh_b.astype(cd),
+                jnp.transpose(mask, (1, 0))[:, :, None]
+                .astype(jnp.float32))
+            y_f = jnp.transpose(ysf, (1, 0, 2)).astype(x.dtype)
+            y_b = reverse_sequences(
+                jnp.transpose(ysb, (1, 0, 2)).astype(x.dtype), lengths)
+            return (jnp.concatenate([y_f, y_b], axis=-1)
+                    * mask[:, :, None])
         fwd = GRULayer(self.hidden, reverse=False, name="fwd",
                        use_pallas=self.use_pallas,
                        bf16_kernel=self.bf16_kernel)(x, lengths)

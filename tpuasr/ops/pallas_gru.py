@@ -236,3 +236,267 @@ def _gru_bwd(res, dys):
 
 
 gru_scan.defvjp(_gru_fwd, _gru_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused bidirectional scan: both directions' recursions advance in lockstep
+# inside ONE kernel. The two per-step recurrent dots are independent, so the
+# MXU pipelines direction B's matmul while the VPU does direction A's gate
+# math — hiding the latency that makes a single-direction scan MXU-idle.
+# The reverse direction consumes time-reversed inputs (reversal happens
+# outside, exactly like the unfused BiGRU path), so in-kernel both are plain
+# forward recursions.
+# ---------------------------------------------------------------------------
+
+
+def _t_blk2(B: int, H: int) -> int:
+    budget = 10 * 2 ** 20
+    per_t = 2 * B * (4 * H) * 4 * 2            # two directions
+    return max(1, min(16, budget // max(per_t, 1)))
+
+
+def _bidir_fwd_kernel(H, T_BLK, xpf_ref, xpb_ref, whf_ref, whb_ref,
+                      mask_ref, ysf_ref, ysb_ref, hf_scr, hb_scr):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        hb_scr[:] = jnp.zeros_like(hb_scr)
+
+    def body(tt, carry):
+        hf, hb = carry
+        hpf = jnp.dot(hf, whf_ref[:], preferred_element_type=jnp.float32)
+        hpb = jnp.dot(hb, whb_ref[:], preferred_element_type=jnp.float32)
+        rf, zf, nf = _gates(xpf_ref[tt].astype(jnp.float32), hpf, H)
+        rb, zb, nb = _gates(xpb_ref[tt].astype(jnp.float32), hpb, H)
+        m = mask_ref[tt]
+        hf_new = m * ((1.0 - zf) * nf + zf * hf) + (1.0 - m) * hf
+        hb_new = m * ((1.0 - zb) * nb + zb * hb) + (1.0 - m) * hb
+        ysf_ref[tt] = hf_new.astype(ysf_ref.dtype)
+        ysb_ref[tt] = hb_new.astype(ysb_ref.dtype)
+        return (hf_new, hb_new)
+
+    hf, hb = jax.lax.fori_loop(0, T_BLK, body, (hf_scr[:], hb_scr[:]))
+    hf_scr[:] = hf
+    hb_scr[:] = hb
+
+
+def _bidir_bwd_kernel(H, T_BLK, xpf_ref, xpb_ref, yspf_ref, yspb_ref,
+                      whf_ref, whb_ref, mask_ref, dysf_ref, dysb_ref,
+                      dxpf_ref, dxpb_ref, dwhf_ref, dwhb_ref,
+                      dhf_scr, dhb_scr, dwhf_scr, dwhb_scr):
+    n_tb = pl.num_programs(0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dhf_scr[:] = jnp.zeros_like(dhf_scr)
+        dhb_scr[:] = jnp.zeros_like(dhb_scr)
+        dwhf_scr[:] = jnp.zeros_like(dwhf_scr)
+        dwhb_scr[:] = jnp.zeros_like(dwhb_scr)
+
+    def one_dir(tt, dh, xp_ref, ysp_ref, wh_ref, dys_ref, dxp_ref, dwh_scr,
+                m):
+        h_prev = ysp_ref[tt].astype(jnp.float32)
+        hp = jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32)
+        r, z, n = _gates(xp_ref[tt].astype(jnp.float32), hp, H)
+        dh_tot = dys_ref[tt].astype(jnp.float32) + dh
+        dz = dh_tot * (h_prev - n)
+        dn_pre = dh_tot * (1.0 - z) * (1.0 - n * n)
+        hn = hp[:, 2 * H:]
+        dr = dn_pre * hn
+        dxr = dr * r * (1.0 - r)
+        dxz = dz * z * (1.0 - z)
+        dhp = jnp.concatenate([dxr, dxz, dn_pre * r], axis=1) * m
+        dxp_ref[tt] = (jnp.concatenate([dxr, dxz, dn_pre], axis=1)
+                       * m).astype(dxp_ref.dtype)
+        dh_rec = dh_tot * z + jax.lax.dot_general(
+            dhp, wh_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh_new = m * dh_rec + (1.0 - m) * dh_tot
+        dwh_scr[:] += jax.lax.dot_general(
+            h_prev, dhp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dh_new
+
+    def body(i, carry):
+        tt = T_BLK - 1 - i
+        dhf, dhb = carry
+        m = mask_ref[tt]
+        dhf = one_dir(tt, dhf, xpf_ref, yspf_ref, whf_ref, dysf_ref,
+                      dxpf_ref, dwhf_scr, m)
+        dhb = one_dir(tt, dhb, xpb_ref, yspb_ref, whb_ref, dysb_ref,
+                      dxpb_ref, dwhb_scr, m)
+        return (dhf, dhb)
+
+    dhf, dhb = jax.lax.fori_loop(0, T_BLK, body, (dhf_scr[:], dhb_scr[:]))
+    dhf_scr[:] = dhf
+    dhb_scr[:] = dhb
+
+    @pl.when(pl.program_id(0) == n_tb - 1)
+    def _():
+        dwhf_ref[:] = dwhf_scr[:]
+        dwhb_ref[:] = dwhb_scr[:]
+
+
+@functools.lru_cache(maxsize=32)
+def _build_bidir_fwd(T: int, B: int, H: int, interpret: bool = False,
+                     dtype: str = "float32"):
+    T_BLK = _t_blk2(B, H)
+    n_tb = T // T_BLK
+    io = jnp.dtype(dtype)
+    blk3 = lambda t: (t, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_bidir_fwd_kernel, H, T_BLK),
+        grid=(n_tb,),
+        in_specs=[
+            pl.BlockSpec((T_BLK, B, 3 * H), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 3 * H), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 1), blk3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T_BLK, B, H), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, H), blk3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), io),
+                   jax.ShapeDtypeStruct((T, B, H), io)],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _build_bidir_bwd(T: int, B: int, H: int, interpret: bool = False,
+                     dtype: str = "float32"):
+    T_BLK = _t_blk2(B, H)
+    n_tb = T // T_BLK
+    rev = lambda t: (n_tb - 1 - t, 0, 0)
+    io = jnp.dtype(dtype)
+    return pl.pallas_call(
+        functools.partial(_bidir_bwd_kernel, H, T_BLK),
+        grid=(n_tb,),
+        in_specs=[
+            pl.BlockSpec((T_BLK, B, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, H), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T_BLK, B, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, B, 3 * H), io),
+                   jax.ShapeDtypeStruct((T, B, 3 * H), io),
+                   jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+                   jax.ShapeDtypeStruct((H, 3 * H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((H, 3 * H), jnp.float32),
+                        pltpu.VMEM((H, 3 * H), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+def _pad_args2(xpf, xpb, whf, whb, mask):
+    T, B, H3 = xpf.shape
+    H = H3 // 3
+    Bp = _round_up(B, 8)
+    Hp = _round_up(H, 128)
+    Tp = _round_up(T, _t_blk2(Bp, Hp))
+    if (Tp, Bp, Hp) == (T, B, H):
+        return xpf, xpb, whf, whb, mask.astype(jnp.float32), (T, B, H)
+
+    def pad_xp(xp):
+        out = jnp.zeros((Tp, Bp, 3 * Hp), xp.dtype)
+        for g in range(3):
+            out = out.at[:T, :B, g * Hp:g * Hp + H].set(
+                xp[:, :, g * H:(g + 1) * H])
+        return out
+
+    def pad_wh(wh):
+        out = jnp.zeros((Hp, 3 * Hp), wh.dtype)
+        for g in range(3):
+            out = out.at[:H, g * Hp:g * Hp + H].set(
+                wh[:, g * H:(g + 1) * H])
+        return out
+
+    mask_p = jnp.zeros((Tp, Bp, 1), jnp.float32).at[:T, :B].set(
+        mask.astype(jnp.float32))
+    return (pad_xp(xpf), pad_xp(xpb), pad_wh(whf), pad_wh(whb), mask_p,
+            (T, B, H))
+
+
+@jax.custom_vjp
+def gru_scan_bidir(xpf, xpb, whf, whb, mask):
+    """Both GRU directions in one kernel. Returns (ys_f, ys_b)."""
+    return _bidir_fwd_impl(xpf, xpb, whf, whb, mask)
+
+
+def _bidir_fwd_impl(xpf, xpb, whf, whb, mask):
+    xpf_p, xpb_p, whf_p, whb_p, mask_p, (T, B, H) = _pad_args2(
+        xpf, xpb, whf, whb, mask)
+    Tp, Bp, H3p = xpf_p.shape
+    ysf, ysb = _build_bidir_fwd(Tp, Bp, H3p // 3,
+                                jax.default_backend() != "tpu",
+                                str(xpf.dtype))(
+        xpf_p, xpb_p, whf_p, whb_p, mask_p)
+    return ysf[:T, :B, :H], ysb[:T, :B, :H]
+
+
+def _bidir_fwd(xpf, xpb, whf, whb, mask):
+    ys = _bidir_fwd_impl(xpf, xpb, whf, whb, mask)
+    return ys, (xpf, xpb, whf, whb, mask, ys)
+
+
+def _bidir_bwd(res, dys):
+    xpf, xpb, whf, whb, mask, (ysf, ysb) = res
+    dysf, dysb = dys
+    xpf_p, xpb_p, whf_p, whb_p, mask_p, (T, B, H) = _pad_args2(
+        xpf, xpb, whf, whb, mask)
+    Tp, Bp, H3p = xpf_p.shape
+    Hp = H3p // 3
+
+    def pad_h(y, dtype):
+        return jnp.zeros((Tp, Bp, Hp), dtype).at[:T, :B, :H].set(
+            y.astype(dtype))
+
+    ysf_p = pad_h(ysf, ysf.dtype)
+    ysb_p = pad_h(ysb, ysb.dtype)
+    dysf_p = pad_h(dysf, ysf.dtype)
+    dysb_p = pad_h(dysb, ysb.dtype)
+    zero = jnp.zeros((1, Bp, Hp), ysf.dtype)
+    yspf = jnp.concatenate([zero, ysf_p[:-1]], axis=0)
+    yspb = jnp.concatenate([zero, ysb_p[:-1]], axis=0)
+    dxpf_p, dxpb_p, dwhf_p, dwhb_p = _build_bidir_bwd(
+        Tp, Bp, Hp, jax.default_backend() != "tpu", str(xpf.dtype))(
+        xpf_p, xpb_p, yspf, yspb, whf_p, whb_p, mask_p, dysf_p, dysb_p)
+
+    def unpad_xp(dxp):
+        return jnp.concatenate(
+            [dxp[:T, :B, g * Hp:g * Hp + H] for g in range(3)], axis=2)
+
+    def unpad_wh(dwh, ref):
+        return jnp.concatenate(
+            [dwh[:H, g * Hp:g * Hp + H] for g in range(3)],
+            axis=1).astype(ref.dtype)
+
+    return (unpad_xp(dxpf_p).astype(xpf.dtype),
+            unpad_xp(dxpb_p).astype(xpb.dtype),
+            unpad_wh(dwhf_p, whf), unpad_wh(dwhb_p, whb), None)
+
+
+gru_scan_bidir.defvjp(_bidir_fwd, _bidir_bwd)
