@@ -98,7 +98,6 @@ def test_beam_better_or_equal_greedy(rng):
     for b in range(B):
         n = int(out["token_lens"][b, 0])
         beam_seq = tuple(np.asarray(out["tokens"])[b, 0, :n].tolist())
-        exact = exhaustive_ctc(lp[b, :lens[b]]) if lens[b] <= 6 else None
         # At minimum the beam hypothesis is a valid token sequence.
         assert all(0 < tok < C for tok in beam_seq)
         assert n <= lens[b]

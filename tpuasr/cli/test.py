@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuasr.cli.common import add_common_flags, feature_config, load_units
+from tpuasr.cli.common import (add_common_flags, feature_config, load_units,
+                               make_word_decoder)
 from tpuasr.data import AudioLoader, LoaderConfig
 from tpuasr.decode import BeamSearchConfig, ctc_beam_search, greedy_decode
 from tpuasr.features import FeatureConfig, Featurizer
@@ -56,7 +57,10 @@ def main(argv=None) -> int:
         feats, flens = fz._featurize(wav, wav_lens)
         return model.apply(variables, feats, flens, train=False)
 
+    word_dec, words = make_word_decoder(args)
+    utt_text = {u.id: u.text for u in loader.utts}
     refs, hyps = [], []
+    wrefs, whyps = [], []
     for batch in loader:
         logp, out_lens = forward(jnp.asarray(batch["wav"]),
                                  jnp.asarray(batch["wav_lens"]))
@@ -75,9 +79,16 @@ def main(argv=None) -> int:
                 continue
             refs.append(
                 batch["tokens"][j][:batch["token_lens"][j]].tolist())
-            hyps.append(toks[j][:tok_lens[j]].tolist())
+            hyp = toks[j][:tok_lens[j]].tolist()
+            hyps.append(hyp)
+            if word_dec is not None:
+                wrefs.append(utt_text.get(batch["ids"][j], "").split())
+                whyps.append([words.sym(w) for w in word_dec.decode(hyp)])
     ter = wer(refs, hyps)
-    print(f"utterances: {len(refs)}  token-error-rate: {ter:.4f}")
+    out = f"utterances: {len(refs)}  token-error-rate: {ter:.4f}"
+    if word_dec is not None:
+        out += f"  word-error-rate: {wer(wrefs, whyps):.4f}"
+    print(out)
     return 0
 
 

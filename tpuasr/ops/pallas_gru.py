@@ -250,8 +250,11 @@ gru_scan.defvjp(_gru_fwd, _gru_bwd)
 
 
 def _t_blk2(B: int, H: int) -> int:
-    budget = 10 * 2 ** 20
-    per_t = 2 * B * (4 * H) * 4 * 2            # two directions
+    # Fixed VMEM: 2x resident wh (and in bwd, 2x dwh accumulated in the
+    # output buffers) => budget what's left for the streamed blocks.
+    fixed = 4 * (H * 3 * H) * 4
+    budget = max(2 ** 20, 12 * 2 ** 20 - fixed)
+    per_t = 2 * B * (8 * H) * 4 * 2            # two directions, in+out, 2-buf
     return max(1, min(16, budget // max(per_t, 1)))
 
 
@@ -283,17 +286,17 @@ def _bidir_fwd_kernel(H, T_BLK, xpf_ref, xpb_ref, whf_ref, whb_ref,
 def _bidir_bwd_kernel(H, T_BLK, xpf_ref, xpb_ref, yspf_ref, yspb_ref,
                       whf_ref, whb_ref, mask_ref, dysf_ref, dysb_ref,
                       dxpf_ref, dxpb_ref, dwhf_ref, dwhb_ref,
-                      dhf_scr, dhb_scr, dwhf_scr, dwhb_scr):
-    n_tb = pl.num_programs(0)
-
+                      dhf_scr, dhb_scr):
+    # dwh accumulates directly in the (constant-index, hence resident)
+    # output buffers — no separate scratch, saving 2x(H,3H) of VMEM.
     @pl.when(pl.program_id(0) == 0)
     def _():
         dhf_scr[:] = jnp.zeros_like(dhf_scr)
         dhb_scr[:] = jnp.zeros_like(dhb_scr)
-        dwhf_scr[:] = jnp.zeros_like(dwhf_scr)
-        dwhb_scr[:] = jnp.zeros_like(dwhb_scr)
+        dwhf_ref[:] = jnp.zeros_like(dwhf_ref)
+        dwhb_ref[:] = jnp.zeros_like(dwhb_ref)
 
-    def one_dir(tt, dh, xp_ref, ysp_ref, wh_ref, dys_ref, dxp_ref, dwh_scr,
+    def one_dir(tt, dh, xp_ref, ysp_ref, wh_ref, dys_ref, dxp_ref, dwh_ref,
                 m):
         h_prev = ysp_ref[tt].astype(jnp.float32)
         hp = jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32)
@@ -312,7 +315,7 @@ def _bidir_bwd_kernel(H, T_BLK, xpf_ref, xpb_ref, yspf_ref, yspb_ref,
             dhp, wh_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dh_new = m * dh_rec + (1.0 - m) * dh_tot
-        dwh_scr[:] += jax.lax.dot_general(
+        dwh_ref[:] += jax.lax.dot_general(
             h_prev, dhp, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dh_new
@@ -322,19 +325,14 @@ def _bidir_bwd_kernel(H, T_BLK, xpf_ref, xpb_ref, yspf_ref, yspb_ref,
         dhf, dhb = carry
         m = mask_ref[tt]
         dhf = one_dir(tt, dhf, xpf_ref, yspf_ref, whf_ref, dysf_ref,
-                      dxpf_ref, dwhf_scr, m)
+                      dxpf_ref, dwhf_ref, m)
         dhb = one_dir(tt, dhb, xpb_ref, yspb_ref, whb_ref, dysb_ref,
-                      dxpb_ref, dwhb_scr, m)
+                      dxpb_ref, dwhb_ref, m)
         return (dhf, dhb)
 
     dhf, dhb = jax.lax.fori_loop(0, T_BLK, body, (dhf_scr[:], dhb_scr[:]))
     dhf_scr[:] = dhf
     dhb_scr[:] = dhb
-
-    @pl.when(pl.program_id(0) == n_tb - 1)
-    def _():
-        dwhf_ref[:] = dwhf_scr[:]
-        dwhb_ref[:] = dwhb_scr[:]
 
 
 @functools.lru_cache(maxsize=32)
@@ -404,9 +402,7 @@ def _build_bidir_bwd(T: int, B: int, H: int, interpret: bool = False,
                    jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
                    jax.ShapeDtypeStruct((H, 3 * H), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
-                        pltpu.VMEM((B, H), jnp.float32),
-                        pltpu.VMEM((H, 3 * H), jnp.float32),
-                        pltpu.VMEM((H, 3 * H), jnp.float32)],
+                        pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
     )
 
