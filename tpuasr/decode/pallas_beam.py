@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpuasr.decode.prefix_beam import BeamSearchConfig, NEG_INF
 
-B_BLK = 8
+B_BLK = 32
 T_BLK = 128
 LANES = 128
 
@@ -78,9 +78,9 @@ def _set_lane(arr, lane: int, val):
     return jnp.where(_lane_iota(arr.shape) == lane, val, arr)
 
 
-def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
-                 pb_out, pnb_out,
-                 p_b, p_nb, h1, h2, last):
+def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
+                 parent_ref, char_ref, pb_out, pnb_out,
+                 p_b, p_nb, h1, h2, last, plen):
     t_blk = pl.program_id(1)
 
     @pl.when(t_blk == 0)
@@ -91,6 +91,7 @@ def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
         h1[:] = _I1 + lane
         h2[:] = _I2 + lane
         last[:] = jnp.full(last.shape, -1, jnp.int32)
+        plen[:] = jnp.zeros(plen.shape, jnp.int32)
 
     def step(tt, _):
         t_abs = t_blk * t_blk_n + tt
@@ -101,6 +102,7 @@ def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
 
         cur_pb, cur_pnb = p_b[:], p_nb[:]
         cur_h1, cur_h2, cur_last = h1[:], h2[:], last[:]
+        cur_plen = plen[:]
         p_tot = _logaddexp(cur_pb, cur_pnb)              # (B, K_LANES)
 
         # ---- stay candidates ----
@@ -123,8 +125,12 @@ def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
                                  jnp.full((B_BLK, 1), k, jnp.int32))
             h1k = _gather_lane(cur_h1, jnp.full((B_BLK, 1), k, jnp.int32))
             h2k = _gather_lane(cur_h2, jnp.full((B_BLK, 1), k, jnp.int32))
+            plenk = _gather_lane(cur_plen,
+                                 jnp.full((B_BLK, 1), k, jnp.int32))
             is_rep = lane_c == lastk
             ext = jnp.where(is_rep, pbk, ptk) + lp_nb    # (B, C_pad)
+            # Length cap (matches prefix_beam.py's max_len semantics).
+            ext = jnp.where(plenk >= max_len, NEG_INF, ext)
             eh1 = h1k * _M1 + lane_c + 1
             eh2 = h2k * _M2 + lane_c + 1
             any_match = jnp.zeros(ext.shape, bool)
@@ -154,6 +160,7 @@ def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
         new_h1 = _I1 + lane_k + np.int32(7777) * (t_abs + 1)
         new_h2 = _I2 + lane_k + np.int32(3333) * (t_abs + 1)
         new_last = jnp.full((B_BLK, LANES), -1, jnp.int32)
+        new_plen = jnp.zeros((B_BLK, LANES), jnp.int32)
         parents = jnp.zeros((B_BLK, LANES), jnp.int32)
         chars = jnp.full((B_BLK, LANES), -1, jnp.int32)
 
@@ -181,6 +188,8 @@ def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
             sel_h2 = jnp.where(take_stay, _gather_lane(cur_h2, s_idx), 0)
             sel_last = jnp.where(take_stay,
                                  _gather_lane(cur_last, s_idx), -1)
+            sel_plen = jnp.where(take_stay,
+                                 _gather_lane(cur_plen, s_idx), 0)
             sel_parent = jnp.where(take_stay, s_idx, 0)
             sel_char = jnp.full((B_BLK, 1), -1, jnp.int32)
             for k in range(K):
@@ -195,6 +204,9 @@ def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
                 sel_h1 = jnp.where(tk, h1k * _M1 + c_idx + 1, sel_h1)
                 sel_h2 = jnp.where(tk, h2k * _M2 + c_idx + 1, sel_h2)
                 sel_last = jnp.where(tk, c_idx, sel_last)
+                plenk = _gather_lane(cur_plen,
+                                     jnp.full((B_BLK, 1), k, jnp.int32))
+                sel_plen = jnp.where(tk, plenk + 1, sel_plen)
                 sel_parent = jnp.where(tk,
                                        jnp.full((B_BLK, 1), k, jnp.int32),
                                        sel_parent)
@@ -210,6 +222,7 @@ def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
             sel_h2 = jnp.where(dead, fresh2, sel_h2)
             sel_last = jnp.where(dead, -1, sel_last)
             sel_char = jnp.where(dead, -1, sel_char)
+            sel_plen = jnp.where(dead, 0, sel_plen)
             sel_parent = jnp.where(dead, jnp.full((B_BLK, 1), sel,
                                                   jnp.int32), sel_parent)
 
@@ -219,6 +232,7 @@ def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
             new_h1 = _set_lane(new_h1, sel, sel_h1)
             new_h2 = _set_lane(new_h2, sel, sel_h2)
             new_last = _set_lane(new_last, sel, sel_last)
+            new_plen = _set_lane(new_plen, sel, sel_plen)
             parents = _set_lane(parents, sel, sel_parent)
             chars = _set_lane(chars, sel, sel_char)
 
@@ -237,6 +251,7 @@ def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
         h1[:] = jnp.where(livb, new_h1, cur_h1)
         h2[:] = jnp.where(livb, new_h2, cur_h2)
         last[:] = jnp.where(livb, new_last, cur_last)
+        plen[:] = jnp.where(livb, new_plen, cur_plen)
         parent_ref[tt] = jnp.where(livb, parents, lane_k)
         char_ref[tt] = jnp.where(livb, chars,
                                  jnp.full(chars.shape, -1, jnp.int32))
@@ -249,11 +264,11 @@ def _beam_kernel(K, C, blank, t_blk_n, lp_ref, lens_ref, parent_ref, char_ref,
 
 @functools.lru_cache(maxsize=16)
 def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
-           t_blk_n: int, interpret: bool):
+           max_len: int, t_blk_n: int, interpret: bool):
     n_b = Bp // B_BLK
     n_t = Tp // t_blk_n
     return pl.pallas_call(
-        functools.partial(_beam_kernel, K, C, blank, t_blk_n),
+        functools.partial(_beam_kernel, K, C, blank, max_len, t_blk_n),
         grid=(n_b, n_t),
         in_specs=[
             pl.BlockSpec((t_blk_n, B_BLK, C_pad), lambda b, t: (t, b, 0),
@@ -280,6 +295,7 @@ def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
         scratch_shapes=[
             pltpu.VMEM((B_BLK, LANES), jnp.float32),
             pltpu.VMEM((B_BLK, LANES), jnp.float32),
+            pltpu.VMEM((B_BLK, LANES), jnp.int32),
             pltpu.VMEM((B_BLK, LANES), jnp.int32),
             pltpu.VMEM((B_BLK, LANES), jnp.int32),
             pltpu.VMEM((B_BLK, LANES), jnp.int32),
@@ -314,7 +330,7 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
         jnp.transpose(log_probs, (1, 0, 2)).astype(jnp.float32))
     lens = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(
         jnp.asarray(lengths, jnp.int32))
-    call = _build(Tp, Bp, C_pad, K, C, cfg.blank, t_blk_n,
+    call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
                   jax.default_backend() != "tpu")
     parent, char, pb, pnb = call(lp, lens)
 
