@@ -22,7 +22,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from tpuasr.decode import BeamSearchConfig, ctc_beam_search
+    from tpuasr.decode import BeamSearchConfig, get_beam_search
     from tpuasr.features import FeatureConfig, Featurizer
     from tpuasr.models import create_model
 
@@ -54,12 +54,13 @@ def main() -> int:
         jax.random.PRNGKey(0), feats0, flens0, train=False)
 
     bs_cfg = BeamSearchConfig(beam_width=8, class_topk=8, max_len=256)
+    beam = get_beam_search("auto")
 
     @jax.jit
     def pipeline(wav, wav_lens):
         feats, flens = fz._featurize(wav, wav_lens)
         logp, out_lens = model.apply(variables, feats, flens, train=False)
-        out = ctc_beam_search(logp, out_lens, bs_cfg)
+        out = beam(logp, out_lens, bs_cfg)
         return out["tokens"], out["token_lens"], out["scores"]
 
     wav_d = jnp.asarray(wav)

@@ -20,7 +20,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tpuasr.decode import BeamSearchConfig, ctc_beam_search
+    from tpuasr.decode import BeamSearchConfig, get_beam_search
     from tpuasr.features import FeatureConfig
     from tpuasr.features.pallas_fused import FusedFeaturizer
     from tpuasr.models import create_model
@@ -42,7 +42,8 @@ def main():
 
     featurize = jax.jit(fz._featurize)
     am = jax.jit(lambda f, fl: model.apply(variables, f, fl, train=False))
-    dec = jax.jit(lambda lp, ol: ctc_beam_search(lp, ol, bs_cfg)["tokens"])
+    beam = get_beam_search("auto")
+    dec = jax.jit(lambda lp, ol: beam(lp, ol, bs_cfg)["tokens"])
 
     bd = rtf_breakdown(featurize, am, dec, wav, lens, B * SECONDS)
     detail(json.dumps(bd, indent=2))

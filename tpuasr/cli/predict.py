@@ -13,7 +13,8 @@ import numpy as np
 
 from tpuasr.cli.common import (add_common_flags, feature_config, load_units,
                                make_word_decoder, tokens_to_text)
-from tpuasr.decode import BeamSearchConfig, ctc_beam_search, greedy_decode
+from tpuasr.decode import (BeamSearchConfig, get_beam_search,
+                           greedy_decode)
 from tpuasr.features import FeatureConfig, Featurizer
 from tpuasr.models import create_model
 from tpuasr.train.checkpoints import load_for_inference
@@ -30,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(replaces the reference's Kaldi latgen path)")
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--class-topk", type=int, default=8)
+    p.add_argument("--beam-impl", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="beam search implementation (pallas = TPU kernel)")
     return p
 
 
@@ -75,7 +79,7 @@ def main(argv=None) -> int:
         cfg = BeamSearchConfig(beam_width=args.beam_width,
                                class_topk=args.class_topk,
                                max_len=int(logp.shape[1]))
-        out = ctc_beam_search(logp, out_lens, cfg)
+        out = get_beam_search(args.beam_impl)(logp, out_lens, cfg)
         toks = np.asarray(out["tokens"])[:, 0]
         tok_lens = np.asarray(out["token_lens"])[:, 0]
     else:

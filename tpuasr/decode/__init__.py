@@ -12,4 +12,20 @@ Replaces the reference's two decode paths (SURVEY.md sections 2.1/3.2):
 from tpuasr.decode.greedy import greedy_decode
 from tpuasr.decode.prefix_beam import BeamSearchConfig, ctc_beam_search
 
-__all__ = ["greedy_decode", "ctc_beam_search", "BeamSearchConfig"]
+
+def get_beam_search(impl: str = "auto"):
+    """impl: 'xla' (scan, hash-join merge) | 'pallas' (VMEM kernel, all
+    classes, ~2x faster on TPU) | 'auto' (pallas on TPU, xla elsewhere)."""
+    if impl == "auto":
+        import jax
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return ctc_beam_search
+    if impl == "pallas":
+        from tpuasr.decode.pallas_beam import ctc_beam_search_pallas
+        return ctc_beam_search_pallas
+    raise ValueError(f"unknown beam impl {impl!r}")
+
+
+__all__ = ["greedy_decode", "ctc_beam_search", "BeamSearchConfig",
+           "get_beam_search"]
