@@ -116,34 +116,30 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
         stay_pnb = cur_pnb + lp_last
 
         # ---- extend candidates, hash-join into stays ----
+        # Hoist all per-beam lane gathers once (reused across the K x K
+        # join and the selection loop below).
+        kconst = [jnp.full((B_BLK, 1), k, jnp.int32) for k in range(K)]
+        g_pb = [_gather_lane(cur_pb, kconst[k]) for k in range(K)]
+        g_pt = [_gather_lane(p_tot, kconst[k]) for k in range(K)]
+        g_last = [_gather_lane(cur_last, kconst[k]) for k in range(K)]
+        g_h1 = [_gather_lane(cur_h1, kconst[k]) for k in range(K)]
+        g_h2 = [_gather_lane(cur_h2, kconst[k]) for k in range(K)]
+        g_plen = [_gather_lane(cur_plen, kconst[k]) for k in range(K)]
         exts = []
         absorbed = jnp.full((B_BLK, LANES), NEG_INF)
         for k in range(K):
-            pbk = _gather_lane(cur_pb, jnp.full((B_BLK, 1), k, jnp.int32))
-            ptk = _gather_lane(p_tot, jnp.full((B_BLK, 1), k, jnp.int32))
-            lastk = _gather_lane(cur_last,
-                                 jnp.full((B_BLK, 1), k, jnp.int32))
-            h1k = _gather_lane(cur_h1, jnp.full((B_BLK, 1), k, jnp.int32))
-            h2k = _gather_lane(cur_h2, jnp.full((B_BLK, 1), k, jnp.int32))
-            plenk = _gather_lane(cur_plen,
-                                 jnp.full((B_BLK, 1), k, jnp.int32))
-            is_rep = lane_c == lastk
-            ext = jnp.where(is_rep, pbk, ptk) + lp_nb    # (B, C_pad)
+            is_rep = lane_c == g_last[k]
+            ext = jnp.where(is_rep, g_pb[k], g_pt[k]) + lp_nb  # (B, C_pad)
             # Length cap (matches prefix_beam.py's max_len semantics).
-            ext = jnp.where(plenk >= max_len, NEG_INF, ext)
-            eh1 = h1k * _M1 + lane_c + 1
-            eh2 = h2k * _M2 + lane_c + 1
+            ext = jnp.where(g_plen[k] >= max_len, NEG_INF, ext)
+            eh1 = g_h1[k] * _M1 + lane_c + 1
+            eh2 = g_h2[k] * _M2 + lane_c + 1
             any_match = jnp.zeros(ext.shape, bool)
             for j in range(K):
-                h1j = _gather_lane(cur_h1,
-                                   jnp.full((B_BLK, 1), j, jnp.int32))
-                h2j = _gather_lane(cur_h2,
-                                   jnp.full((B_BLK, 1), j, jnp.int32))
-                match = (eh1 == h1j) & (eh2 == h2j)      # (B, C_pad)
+                match = (eh1 == g_h1[j]) & (eh2 == g_h2[j])  # (B, C_pad)
                 # At most one lane matches (hash varies injectively in c).
                 contrib = _maxlane(jnp.where(match, ext, NEG_INF))
-                prev = _gather_lane(absorbed,
-                                    jnp.full((B_BLK, 1), j, jnp.int32))
+                prev = _gather_lane(absorbed, kconst[j])
                 absorbed = jnp.where(
                     _lane_iota(absorbed.shape) == j,
                     _logaddexp(prev, contrib), absorbed)
@@ -195,21 +191,13 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
             for k in range(K):
                 tk = take_ext[k]
                 c_idx = e_idx[k]
-                h1k = _gather_lane(cur_h1,
-                                   jnp.full((B_BLK, 1), k, jnp.int32))
-                h2k = _gather_lane(cur_h2,
-                                   jnp.full((B_BLK, 1), k, jnp.int32))
                 sel_pnb = jnp.where(tk, e_max[k], sel_pnb)
                 sel_pb = jnp.where(tk, NEG_INF, sel_pb)
-                sel_h1 = jnp.where(tk, h1k * _M1 + c_idx + 1, sel_h1)
-                sel_h2 = jnp.where(tk, h2k * _M2 + c_idx + 1, sel_h2)
+                sel_h1 = jnp.where(tk, g_h1[k] * _M1 + c_idx + 1, sel_h1)
+                sel_h2 = jnp.where(tk, g_h2[k] * _M2 + c_idx + 1, sel_h2)
                 sel_last = jnp.where(tk, c_idx, sel_last)
-                plenk = _gather_lane(cur_plen,
-                                     jnp.full((B_BLK, 1), k, jnp.int32))
-                sel_plen = jnp.where(tk, plenk + 1, sel_plen)
-                sel_parent = jnp.where(tk,
-                                       jnp.full((B_BLK, 1), k, jnp.int32),
-                                       sel_parent)
+                sel_plen = jnp.where(tk, g_plen[k] + 1, sel_plen)
+                sel_parent = jnp.where(tk, kconst[k], sel_parent)
                 sel_char = jnp.where(tk, c_idx, sel_char)
 
             # Dead selections (fewer than K live candidates) must NOT
