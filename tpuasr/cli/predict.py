@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beam-impl", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="beam search implementation (pallas = TPU kernel)")
+    p.add_argument("--nbest", type=int, default=1,
+                   help="print the top-N beam hypotheses per wav")
     return p
 
 
@@ -75,25 +77,34 @@ def main(argv=None) -> int:
 
     logp, out_lens = forward(jnp.asarray(batch),
                              jnp.asarray(lens, dtype=jnp.int32))
+    n_best = max(1, args.nbest) if args.beam else 1
     if args.beam:
-        cfg = BeamSearchConfig(beam_width=args.beam_width,
+        cfg = BeamSearchConfig(beam_width=max(args.beam_width, n_best),
                                class_topk=args.class_topk,
                                max_len=int(logp.shape[1]))
-        out = get_beam_search(args.beam_impl)(logp, out_lens, cfg)
-        toks = np.asarray(out["tokens"])[:, 0]
-        tok_lens = np.asarray(out["token_lens"])[:, 0]
+        out = get_beam_search(args.beam_impl)(logp, out_lens, cfg,
+                                              n_best=n_best)
+        toks = np.asarray(out["tokens"])
+        tok_lens = np.asarray(out["token_lens"])
+        scores = np.asarray(out["scores"])
     else:
         t, l = greedy_decode(logp, out_lens)
-        toks, tok_lens = np.asarray(t), np.asarray(l)
+        toks = np.asarray(t)[:, None]
+        tok_lens = np.asarray(l)[:, None]
+        scores = None
 
     word_dec, words = make_word_decoder(args)
     for i, path in enumerate(args.wavs):
-        seq = toks[i][:tok_lens[i]].tolist()
-        if word_dec is not None:
-            text = " ".join(words.sym(w) for w in word_dec.decode(seq))
-        else:
-            text = tokens_to_text(seq, units)
-        print(f"{path}\t{text}")
+        for n in range(n_best):
+            seq = toks[i, n][:tok_lens[i, n]].tolist()
+            if word_dec is not None:
+                text = " ".join(words.sym(w) for w in word_dec.decode(seq))
+            else:
+                text = tokens_to_text(seq, units)
+            if n_best > 1:
+                print(f"{path}\t[{n}] {scores[i, n]:.2f}\t{text}")
+            else:
+                print(f"{path}\t{text}")
     return 0
 
 
