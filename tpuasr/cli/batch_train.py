@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pallas fused featurizer kernel (TPU)")
     p.add_argument("--pallas-gru", action="store_true",
                    help="VMEM-resident-weights GRU kernel (deepspeech, TPU)")
+    p.add_argument("--preset", action="store_true",
+                   help="apply the model's central hyperparameter preset "
+                        "(tpuasr.utils.params; reference asr/utils/params.py "
+                        "equivalent); explicit flags still win")
     return p
 
 
@@ -55,6 +59,10 @@ def main(argv=None) -> int:
         raise SystemExit("--num-classes or --units is required")
     ckpt_dir = args.checkpoint_dir or f"{args.log_dir}/ckpt"
     model_kwargs = {}
+    train_overrides = {}
+    if args.preset:
+        from tpuasr.utils.params import preset_for
+        model_kwargs, train_overrides = preset_for(args.model)
     if args.pallas_gru and args.model in ("deepspeech_ctc",
                                           "deepspeech_var"):
         model_kwargs["pallas_gru"] = True
@@ -66,6 +74,11 @@ def main(argv=None) -> int:
         continue_from=args.continue_from, objective=args.objective,
         ctc_impl=args.ctc_impl, fused_featurizer=args.fused_featurizer,
         model_kwargs=model_kwargs)
+    # Preset fills fields the user left at parser defaults; explicit wins.
+    defaults = build_parser()
+    for k, v in train_overrides.items():
+        if getattr(args, k, None) == defaults.get_default(k):
+            setattr(cfg, k, v)
     feat_cfg = feature_config(args)
     lcfg = LoaderConfig(batch_size=args.batch_size,
                         max_label_len=args.max_label_len, seed=args.seed,
