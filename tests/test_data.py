@@ -70,3 +70,24 @@ def test_loader_featurizer_integration(tmp_path):
         feats, flen = fz(batch["wav"], batch["wav_lens"])
         assert feats.shape[0] == 4
         assert int(np.asarray(flen).max()) <= feats.shape[1]
+
+
+def test_loader_augmentation(tmp_path):
+    corpus = make_synthetic_corpus(tmp_path, num_utts=4, vocab_size=5,
+                                   seed=9)
+    plain = AudioLoader(corpus.manifest,
+                        LoaderConfig(batch_size=4, shuffle=False))
+    aug = AudioLoader(corpus.manifest,
+                      LoaderConfig(batch_size=4, shuffle=False, augment=True,
+                                   gain_range=(0.5, 0.5), noise_std=0.0))
+    b0 = plain.make_batch(plain.batch_plan(0)[0])
+    b1 = aug.make_batch(aug.batch_plan(0)[0])
+    # Pure gain 0.5: wave exactly halved.
+    np.testing.assert_allclose(b1["wav"], b0["wav"] * 0.5, rtol=1e-6)
+    noisy = AudioLoader(corpus.manifest,
+                        LoaderConfig(batch_size=4, shuffle=False,
+                                     augment=True, gain_range=(1.0, 1.0),
+                                     noise_std=0.01))
+    b2 = noisy.make_batch(noisy.batch_plan(0)[0])
+    diff = b2["wav"] - b0["wav"]
+    assert 0.005 < diff[b2["wav"] != 0].std() < 0.02

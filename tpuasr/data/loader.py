@@ -28,6 +28,11 @@ class LoaderConfig:
     # derived from utterance `segments` (frame-wise training; reference's
     # CapsNet/SSVAE mode): batch["frame_labels"] (B, T_frames) i32, blank=0.
     frame_label_cfg: object = None
+    # Train-time waveform augmentation (host-side, before device transfer;
+    # reference's dataset offered similar perturbations [M]). Off by default.
+    augment: bool = False
+    gain_range: tuple = (0.8, 1.2)     # random amplitude scale
+    noise_std: float = 0.0             # additive white noise (abs scale)
 
 
 class AudioLoader:
@@ -53,6 +58,7 @@ class AudioLoader:
             max_buckets=self.cfg.max_buckets)
         self._cache: dict[str, np.ndarray] = {}
         self.epoch = 0
+        self._aug_rng = np.random.default_rng(self.cfg.seed + 104729)
 
     # -- deterministic, resumable batch plan --------------------------------
 
@@ -110,6 +116,13 @@ class AudioLoader:
         real = np.zeros((B,), bool)
         for j, u in enumerate(utts):
             data = self._wav(u)[:S]
+            if cfg.augment:
+                g = self._aug_rng.uniform(*cfg.gain_range)
+                data = data * g
+                if cfg.noise_std > 0:
+                    data = data + self._aug_rng.normal(
+                        0.0, cfg.noise_std, size=len(data)).astype(
+                            np.float32)
             wav[j, :len(data)] = data
             wav_lens[j] = len(data)
             toks = u.tokens[:U]

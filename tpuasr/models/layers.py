@@ -98,7 +98,14 @@ class GRULayer(nn.Module):
         if self.reverse:
             x = reverse_sequences(x, lengths)
 
-        xp = (x.reshape(B * T, D) @ wx + b).reshape(B, T, 3 * H)
+        if self.bf16_kernel:
+            # bf16 input projection: the (B*T, D) @ (D, 3H) matmul runs at
+            # the MXU's bf16 rate (2x f32); gate math stays f32 in-kernel.
+            xp = (x.reshape(B * T, D).astype(jnp.bfloat16)
+                  @ wx.astype(jnp.bfloat16)
+                  + b.astype(jnp.bfloat16)).reshape(B, T, 3 * H)
+        else:
+            xp = (x.reshape(B * T, D) @ wx + b).reshape(B, T, 3 * H)
         mask = sequence_mask(lengths, T)
 
         if self.use_pallas:
@@ -106,7 +113,6 @@ class GRULayer(nn.Module):
             xp_t = jnp.transpose(xp, (1, 0, 2))
             wh_k = wh
             if self.bf16_kernel:
-                xp_t = xp_t.astype(jnp.bfloat16)
                 wh_k = wh.astype(jnp.bfloat16)
             ys = gru_scan(xp_t, wh_k,
                           jnp.transpose(mask, (1, 0))[:, :, None]
@@ -173,13 +179,14 @@ class BiGRU(nn.Module):
             wx_b, wh_b, b_b = mk("bwd")
             mask = sequence_mask(lengths, T)
             x_rev = reverse_sequences(x, lengths)
-            xp_f = (x.reshape(B * T, D) @ wx_f + b_f).reshape(B, T, 3 * H)
-            xp_b = (x_rev.reshape(B * T, D) @ wx_b + b_b).reshape(
-                B, T, 3 * H)
             cd = jnp.bfloat16 if self.bf16_kernel else x.dtype
+            xp_f = (x.reshape(B * T, D).astype(cd) @ wx_f.astype(cd)
+                    + b_f.astype(cd)).reshape(B, T, 3 * H)
+            xp_b = (x_rev.reshape(B * T, D).astype(cd) @ wx_b.astype(cd)
+                    + b_b.astype(cd)).reshape(B, T, 3 * H)
             ysf, ysb = gru_scan_bidir(
-                jnp.transpose(xp_f, (1, 0, 2)).astype(cd),
-                jnp.transpose(xp_b, (1, 0, 2)).astype(cd),
+                jnp.transpose(xp_f, (1, 0, 2)),
+                jnp.transpose(xp_b, (1, 0, 2)),
                 wh_f.astype(cd), wh_b.astype(cd),
                 jnp.transpose(mask, (1, 0))[:, :, None]
                 .astype(jnp.float32))
