@@ -43,7 +43,8 @@ def main() -> int:
     # pallas_gru: VMEM-resident recurrent weights (compiled path only —
     # interpreter mode on CPU would be slower than the XLA scan).
     model = create_model("deepspeech_ctc", num_classes=NUM_CLASSES,
-                         rnn_hidden=512, rnn_layers=4, pallas_gru=on_tpu)
+                         rnn_hidden=512, rnn_layers=4, pallas_gru=on_tpu,
+                         bf16_gru=on_tpu)
 
     rng = np.random.default_rng(0)
     wav = rng.standard_normal((B, S)).astype(np.float32) * 0.1

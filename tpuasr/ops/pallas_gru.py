@@ -58,7 +58,10 @@ def _fwd_kernel(H, T_BLK, xp_ref, wh_ref, mask_ref, ys_ref, h_scr):
         h_scr[:] = jnp.zeros_like(h_scr)
 
     def body(tt, h):
-        hp = jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32)
+        # Cast the carried state to the weights' dtype for the dot: with
+        # bf16 weights the MXU runs at 2x; accumulation stays f32.
+        hp = jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                     preferred_element_type=jnp.float32)
         r, z, n = _gates(xp_ref[tt].astype(jnp.float32), hp, H)
         h_new = (1.0 - z) * n + z * h
         m = mask_ref[tt]                       # (B, 1)
@@ -80,8 +83,10 @@ def _bwd_kernel(H, T_BLK, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
 
     def body(i, dh):
         tt = T_BLK - 1 - i
-        h_prev = ysp_ref[tt].astype(jnp.float32)   # h_{t-1} (shifted ys)
-        hp = jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32)
+        h_prev32 = ysp_ref[tt].astype(jnp.float32)  # h_{t-1} (shifted ys)
+        hp = jnp.dot(ysp_ref[tt].astype(wh_ref.dtype), wh_ref[:],
+                     preferred_element_type=jnp.float32)
+        h_prev = h_prev32
         r, z, n = _gates(xp_ref[tt].astype(jnp.float32), hp, H)
         m = mask_ref[tt]                       # (B, 1)
 
@@ -98,7 +103,7 @@ def _bwd_kernel(H, T_BLK, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
                        * m).astype(dxp_ref.dtype)
         # dh_{t-1} = m*(z*dh + Wh^T dhp) + (1-m)*dh
         dh_rec = dh_tot * z + jax.lax.dot_general(
-            dhp, wh_ref[:], (((1,), (1,)), ((), ())),
+            dhp.astype(wh_ref.dtype), wh_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dh_new = m * dh_rec + (1.0 - m) * dh_tot
         # dWh += h_{t-1}^T dhp
@@ -267,8 +272,10 @@ def _bidir_fwd_kernel(H, T_BLK, xpf_ref, xpb_ref, whf_ref, whb_ref,
 
     def body(tt, carry):
         hf, hb = carry
-        hpf = jnp.dot(hf, whf_ref[:], preferred_element_type=jnp.float32)
-        hpb = jnp.dot(hb, whb_ref[:], preferred_element_type=jnp.float32)
+        hpf = jnp.dot(hf.astype(whf_ref.dtype), whf_ref[:],
+                      preferred_element_type=jnp.float32)
+        hpb = jnp.dot(hb.astype(whb_ref.dtype), whb_ref[:],
+                      preferred_element_type=jnp.float32)
         rf, zf, nf = _gates(xpf_ref[tt].astype(jnp.float32), hpf, H)
         rb, zb, nb = _gates(xpb_ref[tt].astype(jnp.float32), hpb, H)
         m = mask_ref[tt]
@@ -299,7 +306,8 @@ def _bidir_bwd_kernel(H, T_BLK, xpf_ref, xpb_ref, yspf_ref, yspb_ref,
     def one_dir(tt, dh, xp_ref, ysp_ref, wh_ref, dys_ref, dxp_ref, dwh_ref,
                 m):
         h_prev = ysp_ref[tt].astype(jnp.float32)
-        hp = jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32)
+        hp = jnp.dot(ysp_ref[tt].astype(wh_ref.dtype), wh_ref[:],
+                     preferred_element_type=jnp.float32)
         r, z, n = _gates(xp_ref[tt].astype(jnp.float32), hp, H)
         dh_tot = dys_ref[tt].astype(jnp.float32) + dh
         dz = dh_tot * (h_prev - n)
@@ -312,7 +320,7 @@ def _bidir_bwd_kernel(H, T_BLK, xpf_ref, xpb_ref, yspf_ref, yspb_ref,
         dxp_ref[tt] = (jnp.concatenate([dxr, dxz, dn_pre], axis=1)
                        * m).astype(dxp_ref.dtype)
         dh_rec = dh_tot * z + jax.lax.dot_general(
-            dhp, wh_ref[:], (((1,), (1,)), ((), ())),
+            dhp.astype(wh_ref.dtype), wh_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dh_new = m * dh_rec + (1.0 - m) * dh_tot
         dwh_ref[:] += jax.lax.dot_general(
