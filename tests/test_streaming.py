@@ -1,0 +1,71 @@
+"""Streaming recognizer == offline forward on the unidirectional model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuasr.features import FeatureConfig, Featurizer
+from tpuasr.models import create_model
+from tpuasr.serve import StreamingRecognizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fc = FeatureConfig(n_mels=32, cmn=False, cvn=False)
+    model = create_model("deepspeech_ctc", num_classes=6,
+                         bidirectional=False, explicit_pad=True,
+                         rnn_hidden=16, rnn_layers=2, conv_channels=4,
+                         dropout=0.0)
+    wav = np.asarray(
+        np.sin(2 * np.pi * 700 * np.arange(24000) / 8000)
+        + 0.1 * np.random.default_rng(0).standard_normal(24000),
+        np.float32)
+    fz = Featurizer(fc)
+    feats, flens = fz(wav[None], np.array([len(wav)], np.int32))
+    variables = model.init(jax.random.PRNGKey(0), feats, flens, train=False)
+    return fc, model, variables, wav, feats, flens
+
+
+def offline_tokens(model, variables, feats, flens, blank=0):
+    logp, out_lens = model.apply(variables, feats, flens, train=False)
+    ids = np.asarray(jnp.argmax(logp, -1))[0][:int(out_lens[0])]
+    out, prev = [], blank
+    for t in ids:
+        t = int(t)
+        if t != blank and t != prev:
+            out.append(t)
+        prev = t
+    return out, np.asarray(logp)[0, :int(out_lens[0])]
+
+
+@pytest.mark.parametrize("chunk", [1600, 1777, 4000, 24000])
+def test_streaming_matches_offline(setup, chunk):
+    fc, model, variables, wav, feats, flens = setup
+    ref_tokens, ref_logp = offline_tokens(model, variables, feats, flens)
+
+    sr = StreamingRecognizer(variables, fc)
+    got = []
+    for s in range(0, len(wav), chunk):
+        got.extend(sr.feed(wav[s:s + chunk]))
+    got.extend(sr.flush())
+    assert got == ref_tokens, (chunk, got, ref_tokens)
+
+
+def test_streaming_rejects_cmvn(setup):
+    fc, model, variables, *_ = setup
+    with pytest.raises(ValueError, match="cmn"):
+        StreamingRecognizer(variables, FeatureConfig(n_mels=32))
+
+
+def test_reset_reuses(setup):
+    fc, model, variables, wav, feats, flens = setup
+    ref_tokens, _ = offline_tokens(model, variables, feats, flens)
+    sr = StreamingRecognizer(variables, fc)
+    sr.feed(wav)
+    sr.flush()
+    first = list(sr.tokens)
+    sr.reset()
+    sr.feed(wav)
+    sr.flush()
+    assert sr.tokens == first == ref_tokens

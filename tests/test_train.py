@@ -99,3 +99,27 @@ def test_data_parallel_mesh(corpus, tmp_path):
     for _ in range(8):
         s8, m8b = t8.train_step(s8, t8._device_batch(batch))
     assert float(m8b["loss"]) < float(m8a["loss"])
+
+
+def test_orbax_checkpointer(corpus, tmp_path):
+    import jax
+    from tpuasr.train.checkpoints import OrbaxCheckpointer
+    loader = AudioLoader(corpus.manifest,
+                         LoaderConfig(batch_size=4, max_label_len=8))
+    trainer = Trainer(small_cfg(tmp_path), feat_cfg())
+    batch = loader.make_batch(loader.batch_plan(0)[0])
+    state = trainer.init_state(batch)
+    state, _ = trainer.train_step(state, trainer._device_batch(batch))
+
+    ckpt = OrbaxCheckpointer(tmp_path / "orbax", keep=2)
+    ckpt.save(state, int(state.step), meta={"epoch": 0})
+    ckpt.wait()
+    template = jax.device_get(state)
+    restored, step = ckpt.restore(template)
+    assert step == int(state.step)
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    b = jax.tree_util.tree_leaves(restored.params
+                                  if hasattr(restored, "params")
+                                  else restored["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

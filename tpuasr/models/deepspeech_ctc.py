@@ -28,14 +28,23 @@ class DeepSpeechCTC(nn.Module):
     pallas_gru: bool = False       # VMEM-resident-weights GRU kernel
     bf16_gru: bool = False         # bf16 IO in the GRU kernel
     fused_bidir: bool = False      # both directions in one kernel
+    # Unidirectional stack for streaming/online serving (no backward pass
+    # over time, so chunks can be processed with carried GRU state).
+    bidirectional: bool = True
+    # Explicit symmetric conv padding instead of XLA SAME: SAME's pad split
+    # depends on total T parity (anti-causal for stride 2), which makes
+    # exact chunked streaming impossible. Output shapes are unchanged.
+    explicit_pad: bool = False
 
     @nn.compact
     def __call__(self, feats, feat_lens, train: bool = False):
         # (B, T, F) -> NHWC (B, T, F, 1)
         x = feats[:, :, :, None]
         # DS2-style frontend: (time, freq) kernels, total time stride 2.
+        pad1 = [(5, 5), (20, 20)] if self.explicit_pad else "SAME"
+        pad2 = [(5, 5), (10, 10)] if self.explicit_pad else "SAME"
         x = nn.Conv(self.conv_channels, (11, 41), strides=(2, 2),
-                    padding="SAME", use_bias=False, name="conv1")(x)
+                    padding=pad1, use_bias=False, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          name="conv1_bn")(x)
         x = nn.relu(x)
@@ -44,7 +53,7 @@ class DeepSpeechCTC(nn.Module):
         tmask = sequence_mask(out_lens, x.shape[1])[:, :, None, None]
         x = x * tmask
         x = nn.Conv(self.conv_channels, (11, 21), strides=(1, 2),
-                    padding="SAME", use_bias=False, name="conv2")(x)
+                    padding=pad2, use_bias=False, name="conv2")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          name="conv2_bn")(x)
         x = nn.relu(x)
@@ -59,10 +68,16 @@ class DeepSpeechCTC(nn.Module):
             x = MaskedBatchNorm(use_running_average=not train,
                                 axis_name=self.axis_name,
                                 name=f"rnn{i}_bn")(x, mask)
-            x = BiGRU(self.rnn_hidden, name=f"rnn{i}",
-                      use_pallas=self.pallas_gru,
-                      bf16_kernel=self.bf16_gru,
-                      fused_bidir=self.fused_bidir)(x, out_lens)
+            if self.bidirectional:
+                x = BiGRU(self.rnn_hidden, name=f"rnn{i}",
+                          use_pallas=self.pallas_gru,
+                          bf16_kernel=self.bf16_gru,
+                          fused_bidir=self.fused_bidir)(x, out_lens)
+            else:
+                from tpuasr.models.layers import GRULayer
+                x = GRULayer(self.rnn_hidden, name=f"rnn{i}",
+                             use_pallas=self.pallas_gru,
+                             bf16_kernel=self.bf16_gru)(x, out_lens)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
 

@@ -73,3 +73,41 @@ def load_for_inference(path) -> tuple[dict, dict]:
 def checkpoint_step(path) -> int:
     m = re.search(r"ckpt_(\d+)\.msgpack$", str(path))
     return int(m.group(1)) if m else -1
+
+
+# ---- optional Orbax backend (async-capable, multi-host-aware) --------------
+# The default msgpack path above is dependency-light and what the CLIs use;
+# OrbaxCheckpointer offers the same save/restore contract on Orbax for
+# deployments that want async saves and multi-host coordination
+# (SURVEY.md section 5 checkpoint row).
+
+
+class OrbaxCheckpointer:
+    def __init__(self, ckpt_dir, keep: int = 5):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.dir = Path(ckpt_dir).absolute()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.dir, options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True))
+
+    def save(self, state, step: int, meta: dict | None = None) -> None:
+        args = self._ocp.args.Composite(
+            state=self._ocp.args.StandardSave(jax.device_get(state)),
+            **({"meta": self._ocp.args.JsonSave(meta)} if meta else {}))
+        self.manager.save(step, args=args)
+
+    def restore(self, target, step: int | None = None):
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no orbax checkpoints under {self.dir}")
+        restored = self.manager.restore(
+            step, args=self._ocp.args.Composite(
+                state=self._ocp.args.StandardRestore(
+                    jax.device_get(target))))
+        return restored["state"], step
+
+    def wait(self):
+        self.manager.wait_until_finished()
