@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pallas fused featurizer kernel (TPU)")
     p.add_argument("--pallas-gru", action="store_true",
                    help="VMEM-resident-weights GRU kernel (deepspeech, TPU)")
+    p.add_argument("--model-kwarg", action="append", default=[],
+                   metavar="K=V",
+                   help="extra model constructor kwarg (repeatable), e.g. "
+                        "--model-kwarg bidirectional=False for the "
+                        "streaming variant; values parsed as python "
+                        "literals when possible")
     p.add_argument("--preset", action="store_true",
                    help="apply the model's central hyperparameter preset "
                         "(tpuasr.utils.params; reference asr/utils/params.py "
@@ -66,6 +72,13 @@ def main(argv=None) -> int:
     if args.pallas_gru and args.model in ("deepspeech_ctc",
                                           "deepspeech_var"):
         model_kwargs["pallas_gru"] = True
+    import ast
+    for kv in args.model_kwarg:
+        k, _, v = kv.partition("=")
+        try:
+            model_kwargs[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            model_kwargs[k] = v
     cfg = TrainConfig(
         model=args.model, num_classes=num_classes, optimizer=args.optimizer,
         lr=args.lr, grad_clip=args.grad_clip, warmup_steps=args.warmup_steps,

@@ -25,6 +25,9 @@ def add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--n-mels", type=int, default=64)
     p.add_argument("--feature-type", default="fbank",
                    choices=["fbank", "mfcc", "spectrogram"])
+    p.add_argument("--no-cmvn", action="store_true",
+                   help="disable per-utterance CMVN (required for the "
+                        "streaming variant: CMVN is anti-causal)")
     p.add_argument("--use-cuda", action="store_true",
                    help="accepted for reference-CLI compatibility; ignored "
                         "(device selection is automatic: TPU if present)")
@@ -32,8 +35,10 @@ def add_common_flags(p: argparse.ArgumentParser):
 
 
 def feature_config(args) -> FeatureConfig:
+    no_cmvn = getattr(args, "no_cmvn", False)
     return FeatureConfig(sample_rate=args.sample_rate, n_mels=args.n_mels,
-                         feature_type=args.feature_type)
+                         feature_type=args.feature_type,
+                         cmn=not no_cmvn, cvn=not no_cmvn)
 
 
 def load_units(path: str | None) -> list[str]:

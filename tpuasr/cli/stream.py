@@ -1,0 +1,63 @@
+"""``python stream.py <wav> --checkpoint ...`` — simulate online streaming
+recognition over a wav file (chunked feed; prints tokens as they are
+emitted). Requires a checkpoint of the streaming model variant
+(deepspeech_ctc with bidirectional=False, explicit_pad=True)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from tpuasr.cli.common import load_units, tokens_to_text
+from tpuasr.features import FeatureConfig
+from tpuasr.serve import StreamingRecognizer
+from tpuasr.train.checkpoints import load_for_inference
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="stream.py")
+    p.add_argument("wav")
+    p.add_argument("--continue-from", "--checkpoint", dest="checkpoint",
+                   required=True)
+    p.add_argument("--units", default=None)
+    p.add_argument("--chunk-ms", type=float, default=200.0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    variables, meta = load_for_inference(args.checkpoint)
+    if meta.get("model_kwargs", {}).get("bidirectional", True):
+        raise SystemExit(
+            "streaming needs a unidirectional checkpoint: train with "
+            "--model-kwargs bidirectional=False explicit_pad=True "
+            "(TrainConfig.model_kwargs)")
+    feat_cfg = FeatureConfig(**meta["feature"])
+    if feat_cfg.cmn or feat_cfg.cvn:
+        feat_cfg = dataclasses.replace(feat_cfg, cmn=False, cvn=False)
+        print("# note: disabling CMVN for streaming (anti-causal)")
+    units = load_units(args.units)
+
+    from tpuasr.data.manifest import load_wav
+    wav, sr = load_wav(args.wav)
+    if sr != feat_cfg.sample_rate:
+        raise SystemExit(f"sample rate {sr} != {feat_cfg.sample_rate}")
+    chunk = max(1, int(sr * args.chunk_ms / 1000.0))
+
+    rec = StreamingRecognizer(variables, feat_cfg)
+    t_ms = 0.0
+    for s in range(0, len(wav), chunk):
+        toks = rec.feed(wav[s:s + chunk])
+        t_ms += args.chunk_ms
+        if toks:
+            print(f"[{t_ms / 1000.0:7.2f}s] {tokens_to_text(toks, units)}",
+                  flush=True)
+    toks = rec.flush()
+    if toks:
+        print(f"[  final] {tokens_to_text(toks, units)}")
+    print(f"# transcript: {tokens_to_text(rec.tokens, units)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
