@@ -130,3 +130,32 @@ def test_beam_jit_compiles(rng):
     out2 = ctc_beam_search(lp, lens, cfg)
     np.testing.assert_array_equal(np.asarray(out1["tokens"]),
                                   np.asarray(out2["tokens"]))
+
+
+def test_score_bias_shallow_fusion(rng):
+    """token_insertion_bonus pushes the search toward longer hypotheses;
+    a strong negative unigram bias against a token suppresses it."""
+    import jax
+    from tpuasr.decode.prefix_beam import apply_score_bias
+    B, T, C = 1, 12, 5
+    logits = rng.standard_normal((B, T, C)).astype(np.float32)
+    lp = jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    lens = jnp.array([T])
+    base_cfg = BeamSearchConfig(beam_width=8, class_topk=4, max_len=T)
+    plain = ctc_beam_search(lp, lens, base_cfg)
+    n0 = int(plain["token_lens"][0, 0])
+
+    bonus_cfg = BeamSearchConfig(beam_width=8, class_topk=4, max_len=T,
+                                 token_insertion_bonus=3.0)
+    boosted = ctc_beam_search(apply_score_bias(lp, bonus_cfg), lens,
+                              bonus_cfg)
+    assert int(boosted["token_lens"][0, 0]) >= n0
+
+    # Kill token id 1 entirely.
+    bias = np.zeros((C,), np.float32)
+    bias[1] = -1e9
+    cfg = BeamSearchConfig(beam_width=8, class_topk=4, max_len=T)
+    out = ctc_beam_search(apply_score_bias(lp, cfg, token_bias=bias),
+                          lens, cfg)
+    n = int(out["token_lens"][0, 0])
+    assert 1 not in np.asarray(out["tokens"])[0, 0, :n].tolist()
