@@ -69,3 +69,21 @@ def test_reset_reuses(setup):
     sr.feed(wav)
     sr.flush()
     assert sr.tokens == first == ref_tokens
+
+
+@pytest.mark.parametrize("chunk", [1777, 24000])
+def test_streaming_beam_matches_offline_beam(setup, chunk):
+    """Resumable beam state across chunks == one-shot beam on full logp."""
+    from tpuasr.decode import BeamSearchConfig, ctc_beam_search
+    fc, model, variables, wav, feats, flens = setup
+    logp, out_lens = model.apply(variables, feats, flens, train=False)
+    cfg = BeamSearchConfig(beam_width=8, class_topk=5)
+    ref = ctc_beam_search(logp, out_lens, cfg)
+    n = int(ref["token_lens"][0, 0])
+    ref_tokens = np.asarray(ref["tokens"])[0, 0, :n].tolist()
+
+    sr = StreamingRecognizer(variables, fc, decode="beam", beam_cfg=cfg)
+    for s in range(0, len(wav), chunk):
+        sr.feed(wav[s:s + chunk])
+    sr.flush()
+    assert sr.tokens == ref_tokens

@@ -75,31 +75,13 @@ def _logaddexp(a, b):
     return m + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m))
 
 
-def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
-                    n_best: int = 1):
-    """CTC prefix beam search over a batch.
-
-    Args:
-      log_probs: (B, T, C) per-frame log-probs (blank = cfg.blank).
-      lengths: (B,) valid frame counts.
-      cfg: BeamSearchConfig.
-      n_best: how many hypotheses to return per utterance (<= beam_width).
-
-    Returns dict with:
-      tokens: (B, n_best, max_len) int32, padded with -1
-      token_lens: (B, n_best) int32
-      scores: (B, n_best) float32 total log-prob of each prefix
-    """
-    if cfg is None:
-        cfg = BeamSearchConfig()
-    B, T, C = log_probs.shape
-    K, P, L = cfg.beam_width, cfg.class_topk, cfg.max_len
-    P = min(P, C - 1)  # blank handled separately
-    blank = cfg.blank
-
-    # ---- initial state: beam 0 = empty prefix; others dead ----
+def beam_init_state(B: int, cfg: BeamSearchConfig) -> dict:
+    """Fresh beam state (beam 0 = empty prefix, the rest dead). Also the
+    carry format for resumable/streaming decoding (ctc_beam_search's
+    init_state/return_state)."""
+    K, L = cfg.beam_width, cfg.max_len
     beam0 = jnp.arange(K) == 0
-    init = dict(
+    return dict(
         prefixes=jnp.full((B, K, L), -1, jnp.int32),
         plen=jnp.zeros((B, K), jnp.int32),
         last=jnp.full((B, K), -1, jnp.int32),
@@ -109,6 +91,45 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         h1=(_H1_INIT + jnp.arange(K, dtype=jnp.uint32))[None, :].repeat(B, 0),
         h2=(_H2_INIT + jnp.arange(K, dtype=jnp.uint32))[None, :].repeat(B, 0),
     )
+
+
+def beam_results(state: dict, n_best: int = 1) -> dict:
+    """Rank a beam state's hypotheses (the tail of ctc_beam_search)."""
+    total = _logaddexp(state["p_b"], state["p_nb"])     # (B, K)
+    score, idx = jax.lax.top_k(total, n_best)
+    tokens = jnp.take_along_axis(state["prefixes"], idx[:, :, None], axis=1)
+    token_lens = jnp.take_along_axis(state["plen"], idx, axis=1)
+    return dict(tokens=tokens, token_lens=token_lens, scores=score)
+
+
+def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
+                    n_best: int = 1, init_state: dict = None,
+                    return_state: bool = False):
+    """CTC prefix beam search over a batch.
+
+    Args:
+      log_probs: (B, T, C) per-frame log-probs (blank = cfg.blank).
+      lengths: (B,) valid frame counts.
+      cfg: BeamSearchConfig.
+      n_best: how many hypotheses to return per utterance (<= beam_width).
+      init_state: resume from a previous call's state (streaming decode);
+        default = fresh beam_init_state.
+      return_state: also return the final state under key "state".
+
+    Returns dict with:
+      tokens: (B, n_best, max_len) int32, padded with -1
+      token_lens: (B, n_best) int32
+      scores: (B, n_best) float32 total log-prob of each prefix
+      state: (if return_state) carry for a follow-up call
+    """
+    if cfg is None:
+        cfg = BeamSearchConfig()
+    B, T, C = log_probs.shape
+    K, P, L = cfg.beam_width, cfg.class_topk, cfg.max_len
+    P = min(P, C - 1)  # blank handled separately
+    blank = cfg.blank
+
+    init = init_state if init_state is not None else beam_init_state(B, cfg)
 
     def step(state, inp):
         lp_t, t = inp                                   # lp_t: (B, C)
@@ -209,8 +230,7 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
     lp_seq = jnp.transpose(log_probs, (1, 0, 2))        # (T, B, C)
     final, _ = jax.lax.scan(step, init, (lp_seq, jnp.arange(T)))
 
-    total = _logaddexp(final["p_b"], final["p_nb"])     # (B, K)
-    score, idx = jax.lax.top_k(total, n_best)
-    tokens = jnp.take_along_axis(final["prefixes"], idx[:, :, None], axis=1)
-    token_lens = jnp.take_along_axis(final["plen"], idx, axis=1)
-    return dict(tokens=tokens, token_lens=token_lens, scores=score)
+    out = beam_results(final, n_best)
+    if return_state:
+        out["state"] = final
+    return out

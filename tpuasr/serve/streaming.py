@@ -38,7 +38,12 @@ class StreamingRecognizer:
     Single-utterance, batch-1 (serving fan-out batches across instances).
     """
 
-    def __init__(self, variables, feat_cfg: FeatureConfig, blank: int = 0):
+    def __init__(self, variables, feat_cfg: FeatureConfig, blank: int = 0,
+                 decode: str = "greedy", beam_cfg=None):
+        """decode: "greedy" (incremental emissions via feed()) or "beam"
+        (resumable prefix beam search across chunks; read hypothesis() /
+        flush() — beam hypotheses may revise earlier output, so per-chunk
+        emissions would be unstable by nature)."""
         c = feat_cfg
         if c.cmn or c.cvn:
             raise ValueError("streaming requires cmn=False, cvn=False "
@@ -47,6 +52,13 @@ class StreamingRecognizer:
             raise ValueError("streaming requires kaldi framing, center=False")
         self.cfg = c
         self.blank = blank
+        self.decode = decode
+        if decode == "beam":
+            from tpuasr.decode.prefix_beam import BeamSearchConfig
+            self.beam_cfg = beam_cfg or BeamSearchConfig(
+                beam_width=8, class_topk=8, blank=blank)
+        elif decode != "greedy":
+            raise ValueError(f"unknown decode mode {decode!r}")
         p = variables["params"]
         self.p = p
         bs = variables.get("batch_stats", {})
@@ -80,6 +92,7 @@ class StreamingRecognizer:
         self._buf2 = None          # lazily sized to conv1 output dim
         self._h = None             # per-layer GRU states
         self._prev_tok = self.blank
+        self._beam_state = None
         self.tokens: list[int] = []
 
     # ---- pure compute pieces (jitted) ----
@@ -209,6 +222,19 @@ class StreamingRecognizer:
                 hs.append(jnp.zeros((H,), jnp.float32))
             self._h = tuple(hs)
         logp, self._h = self._rnn_apply(jnp.asarray(frames), self._h)
+        if self.decode == "beam":
+            from tpuasr.decode.prefix_beam import (beam_init_state,
+                                                   ctc_beam_search)
+            if self._beam_state is None:
+                self._beam_state = beam_init_state(1, self.beam_cfg)
+            Tc = logp.shape[0]
+            out = ctc_beam_search(
+                logp[None], jnp.asarray([Tc], jnp.int32), self.beam_cfg,
+                init_state=self._beam_state, return_state=True)
+            self._beam_state = out["state"]
+            n = int(out["token_lens"][0, 0])
+            self.tokens = np.asarray(out["tokens"])[0, 0, :n].tolist()
+            return list(self.tokens)
         ids = np.asarray(jnp.argmax(logp, -1))
         for t in ids:
             t = int(t)
