@@ -10,7 +10,9 @@ Replaces the reference's two decode paths (SURVEY.md sections 2.1/3.2):
 """
 
 from tpuasr.decode.greedy import greedy_decode
-from tpuasr.decode.prefix_beam import BeamSearchConfig, ctc_beam_search
+from tpuasr.decode.prefix_beam import (BeamSearchConfig, apply_score_bias,
+                                       beam_init_state, beam_results,
+                                       ctc_beam_search)
 
 
 def get_beam_search(impl: str = "auto"):
@@ -28,4 +30,5 @@ def get_beam_search(impl: str = "auto"):
 
 
 __all__ = ["greedy_decode", "ctc_beam_search", "BeamSearchConfig",
-           "get_beam_search"]
+           "get_beam_search", "apply_score_bias", "beam_init_state",
+           "beam_results"]
