@@ -87,3 +87,38 @@ def test_streaming_beam_matches_offline_beam(setup, chunk):
         sr.feed(wav[s:s + chunk])
     sr.flush()
     assert sr.tokens == ref_tokens
+
+
+def test_batched_streaming_matches_solo(setup):
+    """3 concurrent slots, different audio, == per-slot solo recognizers."""
+    from tpuasr.serve.streaming import BatchedStreamingRecognizer
+    fc, model, variables, wav, feats, flens = setup
+    rng = np.random.default_rng(3)
+    wavs = [wav,
+            np.asarray(np.sin(2 * np.pi * 1200 * np.arange(16000) / 8000)
+                       + 0.1 * rng.standard_normal(16000), np.float32),
+            wav[:8000]]
+
+    solos = []
+    for w in wavs:
+        sr = StreamingRecognizer(variables, fc)
+        sr.feed(w)
+        sr.flush()
+        solos.append(list(sr.tokens))
+
+    bat = BatchedStreamingRecognizer(variables, fc, n_streams=3)
+    chunk = 2000
+    maxlen = max(len(w) for w in wavs)
+    for s in range(0, maxlen, chunk):
+        tick = {}
+        for i, w in enumerate(wavs):
+            if s < len(w):
+                tick[i] = w[s:s + chunk]
+            elif bat.active[i]:
+                bat.flush(i)
+        if tick:
+            bat.feed(tick)
+    for i in range(3):
+        if bat.active[i]:
+            bat.flush(i)
+    assert bat.tokens == solos, (bat.tokens, solos)

@@ -243,3 +243,147 @@ class StreamingRecognizer:
             self._prev_tok = t
         self.tokens.extend(emitted)
         return emitted
+
+
+class BatchedStreamingRecognizer:
+    """N concurrent streams advanced in lockstep (synchronous chunk ticks) —
+    the TPU serving shape: one jitted program per tick processes the whole
+    slot batch, so chip utilization scales with concurrent sessions.
+
+    Per-slot semantics are identical to StreamingRecognizer (greedy decode);
+    tests verify each slot matches a solo recognizer bit-for-bit. Slots are
+    attached/detached independently; detached slots ride along masked.
+    """
+
+    def __init__(self, variables, feat_cfg: FeatureConfig, n_streams: int,
+                 blank: int = 0):
+        self.n = n_streams
+        # Reuse the single-stream compute; vmap it over the slot axis.
+        self._solo = StreamingRecognizer(variables, feat_cfg, blank)
+        self.blank = blank
+        self.cfg = feat_cfg
+        self._vfeat = jax.jit(jax.vmap(self._solo._featurize_frames))
+        self._vconv1 = jax.jit(jax.vmap(self._solo._conv1))
+        self._vconv2 = jax.jit(jax.vmap(self._solo._conv2))
+        self._vrnn = jax.jit(jax.vmap(self._solo._rnn_head,
+                                      in_axes=(0, 0), out_axes=(0, 0)))
+        self.reset()
+
+    def reset(self):
+        c = self.cfg
+        self._samples = [np.zeros((0,), np.float32) for _ in range(self.n)]
+        self._buf1 = [np.zeros((5, c.n_mels), np.float32)
+                      for _ in range(self.n)]
+        self._buf2 = [None] * self.n
+        self._h = None
+        self._prev = [self.blank] * self.n
+        self.tokens = [[] for _ in range(self.n)]
+        self.active = [False] * self.n
+
+    def attach(self, slot: int):
+        """(Re)start a stream in a slot."""
+        c = self.cfg
+        self._samples[slot] = np.zeros((0,), np.float32)
+        self._buf1[slot] = np.zeros((5, c.n_mels), np.float32)
+        self._buf2[slot] = None
+        self._prev[slot] = self.blank
+        self.tokens[slot] = []
+        self.active[slot] = True
+        if self._h is not None:
+            self._h = tuple(h.at[:, slot].set(0.0) for h in self._h)
+
+    def feed(self, chunks: dict) -> dict:
+        """chunks: {slot: samples}. Returns {slot: new tokens}.
+
+        Lockstep semantics: each processing tick advances all ACTIVE slots
+        by the minimum available frame count (remainders carry over), so
+        feed every active slot each tick — an unfed active slot stalls the
+        batch until it receives audio or is flushed.
+        """
+        c = self.cfg
+        for slot, samples in chunks.items():
+            if not self.active[slot]:
+                self.attach(slot)
+            self._samples[slot] = np.concatenate(
+                [self._samples[slot], np.asarray(samples, np.float32)])
+        active = [i for i in range(self.n) if self.active[i]]
+        if not active:
+            return {}
+        # Frames available per active slot; process the common minimum.
+        counts = []
+        for i in active:
+            n = len(self._samples[i])
+            counts.append(max(0, 1 + (n - c.win_length) // c.hop_length))
+        T = min(counts)
+        if T > 0:
+            idx = (np.arange(T)[:, None] * c.hop_length
+                   + np.arange(c.win_length)[None, :])
+            frames = np.stack([self._samples[i][idx] for i in active])
+            feats = np.asarray(self._vfeat(jnp.asarray(frames)))
+            for j, i in enumerate(active):
+                self._samples[i] = self._samples[i][T * c.hop_length:]
+                self._buf1[i] = np.concatenate([self._buf1[i], feats[j]],
+                                               axis=0)
+        return self._advance(active)
+
+    def _advance(self, active: list) -> dict:
+        out = {i: [] for i in active}
+        n_out1 = min(max(0, (len(self._buf1[i]) - 11) // 2 + 1)
+                     for i in active)
+        if n_out1 > 0:
+            w = min(len(self._buf1[i]) for i in active)
+            win1 = np.stack([self._buf1[i][:w] for i in active])
+            y1 = np.asarray(self._vconv1(jnp.asarray(win1)))[:, :n_out1]
+            for j, i in enumerate(active):
+                self._buf1[i] = self._buf1[i][n_out1 * 2:]
+                if self._buf2[i] is None:
+                    self._buf2[i] = np.zeros((5,) + y1.shape[2:], np.float32)
+                self._buf2[i] = np.concatenate([self._buf2[i], y1[j]],
+                                               axis=0)
+        if any(self._buf2[i] is None for i in active):
+            return out
+        n_out2 = min(max(0, len(self._buf2[i]) - 11 + 1) for i in active)
+        if n_out2 <= 0:
+            return out
+        w = min(len(self._buf2[i]) for i in active)
+        win2 = np.stack([self._buf2[i][:w] for i in active])
+        y2 = np.asarray(self._vconv2(jnp.asarray(win2)))[:, :n_out2]
+        frames = y2.reshape(len(active), n_out2, -1)
+        if self._h is None:
+            hs = []
+            for li in range(self._solo.n_layers):
+                H = self._solo.p[f"rnn{li}"]["wh"].shape[0]
+                hs.append(jnp.zeros((self.n, H), jnp.float32))
+            self._h = tuple(hs)
+        h_act = tuple(h[jnp.asarray(active)] for h in self._h)
+        logp, new_h = self._vrnn(jnp.asarray(frames), h_act)
+        act = jnp.asarray(active)
+        self._h = tuple(hh.at[act].set(nh)
+                        for hh, nh in zip(self._h, new_h))
+        ids = np.asarray(jnp.argmax(logp, -1))
+        for j, i in enumerate(active):
+            self._buf2[i] = self._buf2[i][n_out2:]
+            for t in ids[j]:
+                t = int(t)
+                if t != self.blank and t != self._prev[i]:
+                    out[i].append(t)
+                self._prev[i] = t
+            self.tokens[i].extend(out[i])
+        return out
+
+    def flush(self, slot: int) -> list:
+        """Finish one stream (pads its tails solo for exactness)."""
+        if not self.active[slot]:
+            return []
+        solo = self._solo
+        solo.reset()
+        solo._samples = self._samples[slot]
+        solo._buf1 = self._buf1[slot]
+        solo._buf2 = self._buf2[slot]
+        if self._h is not None:
+            solo._h = tuple(h[slot] for h in self._h)
+        solo._prev_tok = self._prev[slot]
+        toks = solo.flush()
+        self.tokens[slot].extend(toks)
+        self.active[slot] = False
+        return toks
