@@ -123,3 +123,30 @@ def test_orbax_checkpointer(corpus, tmp_path):
                                   else restored["params"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_shard_map_step_matches_jit_step(corpus, tmp_path):
+    """Explicit shard_map + pmean == jit-with-shardings train step."""
+    import jax
+    from tpuasr.parallel import make_mesh
+    from tpuasr.parallel.shard_map_step import make_shard_map_train_step
+    loader = AudioLoader(corpus.manifest,
+                         LoaderConfig(batch_size=8, max_label_len=8))
+    batch = loader.make_batch(loader.batch_plan(0)[0])
+    mesh = make_mesh(n_data=8)
+    # dropout=0 so the two paths' RNG usage doesn't diverge the comparison;
+    # the shard_map path folds in the shard index for per-shard dropout.
+    trainer = Trainer(small_cfg(tmp_path), feat_cfg(), mesh=mesh)
+    s1 = trainer.init_state(batch)
+    s2 = jax.tree_util.tree_map(lambda x: x.copy(), s1)
+
+    s1, m1 = trainer.train_step(s1, trainer._device_batch(batch))
+    sm_step = make_shard_map_train_step(trainer)
+    s2, m2 = sm_step(s2, trainer._device_batch(batch))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    # Params after one update agree to numerical tolerance.
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)

@@ -46,7 +46,7 @@ class DeepSpeechCTC(nn.Module):
         x = nn.Conv(self.conv_channels, (11, 41), strides=(2, 2),
                     padding=pad1, use_bias=False, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="conv1_bn")(x)
+                         axis_name=self.axis_name, name="conv1_bn")(x)
         x = nn.relu(x)
         out_lens = conv_out_length(feat_lens, 11, 2, "SAME")
         # Re-zero padding (BN bias makes zeros nonzero; see ResNetCTC).
@@ -55,7 +55,7 @@ class DeepSpeechCTC(nn.Module):
         x = nn.Conv(self.conv_channels, (11, 21), strides=(1, 2),
                     padding=pad2, use_bias=False, name="conv2")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="conv2_bn")(x)
+                         axis_name=self.axis_name, name="conv2_bn")(x)
         x = nn.relu(x)
         x = x * tmask
 
