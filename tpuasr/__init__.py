@@ -35,3 +35,29 @@ if _os.environ.get("TPUASR_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["TPUASR_PLATFORM"])
+
+
+def __getattr__(name):
+    """Lazy top-level API: tpuasr.Featurizer, tpuasr.Trainer, ... without
+    importing jax-heavy modules at package import time."""
+    _api = {
+        "FeatureConfig": "tpuasr.features",
+        "Featurizer": "tpuasr.features",
+        "FusedFeaturizer": "tpuasr.features.pallas_fused",
+        "ctc_loss": "tpuasr.losses",
+        "create_model": "tpuasr.models",
+        "greedy_decode": "tpuasr.decode",
+        "ctc_beam_search": "tpuasr.decode",
+        "BeamSearchConfig": "tpuasr.decode",
+        "Trainer": "tpuasr.train",
+        "TrainConfig": "tpuasr.train",
+        "AudioLoader": "tpuasr.data",
+        "LoaderConfig": "tpuasr.data",
+        "make_synthetic_corpus": "tpuasr.data",
+        "StreamingRecognizer": "tpuasr.serve",
+    }
+    if name in _api:
+        import importlib
+
+        return getattr(importlib.import_module(_api[name]), name)
+    raise AttributeError(f"module 'tpuasr' has no attribute {name!r}")

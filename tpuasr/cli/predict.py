@@ -42,7 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     units = load_units(args.units)
-    variables, meta = load_for_inference(args.checkpoint)
+    try:
+        variables, meta = load_for_inference(args.checkpoint)
+    except FileNotFoundError as e:
+        raise SystemExit(f"checkpoint not found: {e}") from e
     if meta.get("model") and meta["model"] != args.model:
         print(f"# note: checkpoint was trained as {meta['model']!r}")
     num_classes = meta.get("num_classes") or (len(units) if units else None)

@@ -26,7 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    variables, meta = load_for_inference(args.checkpoint)
+    try:
+        variables, meta = load_for_inference(args.checkpoint)
+    except FileNotFoundError as e:
+        raise SystemExit(f"checkpoint not found: {e}") from e
     if meta.get("model_kwargs", {}).get("bidirectional", True):
         raise SystemExit(
             "streaming needs a unidirectional checkpoint: train with "

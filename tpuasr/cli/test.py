@@ -40,7 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    variables, meta = load_for_inference(args.checkpoint)
+    try:
+        variables, meta = load_for_inference(args.checkpoint)
+    except FileNotFoundError as e:
+        raise SystemExit(f"checkpoint not found: {e}") from e
     num_classes = meta.get("num_classes")
     units = load_units(args.units)
     if not num_classes:
