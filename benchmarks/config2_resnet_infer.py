@@ -22,7 +22,7 @@ def main():
     from tpuasr.models import create_model
     from tpuasr.utils.profiling import rtf_breakdown
 
-    B, SECONDS = 32, 10.0
+    B, SECONDS = 128, 10.0
     rng = np.random.default_rng(0)
     wav = jnp.asarray(synth_wav(rng, B, SECONDS))
     lens = jnp.full((B,), wav.shape[1], jnp.int32)

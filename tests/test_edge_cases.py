@@ -92,3 +92,12 @@ def test_bf16_compute_train_step(tmp_path):
     state = trainer.init_state(batch)
     state, m = trainer.train_step(state, trainer._device_batch(batch))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_lazy_top_level_api():
+    import tpuasr
+    assert tpuasr.FeatureConfig is not None
+    assert tpuasr.Trainer is not None
+    assert callable(tpuasr.make_synthetic_corpus)
+    with pytest.raises(AttributeError):
+        tpuasr.not_a_real_symbol
