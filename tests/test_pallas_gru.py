@@ -176,3 +176,23 @@ def test_fused_bidir_matches_reference(rng):
         np.testing.assert_allclose(np.asarray(g["params"][k]),
                                    np.asarray(g_ref["params"][k]),
                                    rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_fused_proj_matches_plain(rng):
+    """gru_scan_xfused (projection in-kernel) == plain GRULayer, fwd+grads."""
+    B, T, D, H = 2, 20, 12, 16
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    lens = jnp.array([T, T - 7], jnp.int32)
+    plain = GRULayer(hidden=H, use_pallas=False)
+    fused = GRULayer(hidden=H, use_pallas=True, fused_proj=True)
+    v = plain.init(jax.random.PRNGKey(0), x, lens)
+    y_p = np.asarray(plain.apply(v, x, lens))
+    y_f = np.asarray(fused.apply(v, x, lens))
+    np.testing.assert_allclose(y_f, y_p, rtol=1e-4, atol=1e-5)
+
+    g_p = jax.grad(lambda vv: jnp.sum(plain.apply(vv, x, lens) ** 2))(v)
+    g_f = jax.grad(lambda vv: jnp.sum(fused.apply(vv, x, lens) ** 2))(v)
+    for k in g_p["params"]:
+        np.testing.assert_allclose(np.asarray(g_f["params"][k]),
+                                   np.asarray(g_p["params"][k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)

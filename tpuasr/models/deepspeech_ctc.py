@@ -28,6 +28,7 @@ class DeepSpeechCTC(nn.Module):
     pallas_gru: bool = False       # VMEM-resident-weights GRU kernel
     bf16_gru: bool = False         # bf16 IO in the GRU kernel
     fused_bidir: bool = False      # both directions in one kernel
+    fused_proj: bool = False       # input projection inside the GRU kernel
     # Unidirectional stack for streaming/online serving (no backward pass
     # over time, so chunks can be processed with carried GRU state).
     bidirectional: bool = True
@@ -72,12 +73,14 @@ class DeepSpeechCTC(nn.Module):
                 x = BiGRU(self.rnn_hidden, name=f"rnn{i}",
                           use_pallas=self.pallas_gru,
                           bf16_kernel=self.bf16_gru,
-                          fused_bidir=self.fused_bidir)(x, out_lens)
+                          fused_bidir=self.fused_bidir,
+                          fused_proj=self.fused_proj)(x, out_lens)
             else:
                 from tpuasr.models.layers import GRULayer
                 x = GRULayer(self.rnn_hidden, name=f"rnn{i}",
                              use_pallas=self.pallas_gru,
-                             bf16_kernel=self.bf16_gru)(x, out_lens)
+                             bf16_kernel=self.bf16_gru,
+                             fused_proj=self.fused_proj)(x, out_lens)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
 

@@ -86,6 +86,7 @@ class GRULayer(nn.Module):
     reverse: bool = False
     use_pallas: bool = False   # VMEM-resident-weights Pallas scan kernel
     bf16_kernel: bool = False  # stream xp/ys/wh in bf16 (f32 gate math)
+    fused_proj: bool = False   # x@Wx inside the kernel (xp never in HBM)
 
     @nn.compact
     def __call__(self, x, lengths):
@@ -97,6 +98,20 @@ class GRULayer(nn.Module):
 
         if self.reverse:
             x = reverse_sequences(x, lengths)
+
+        if self.use_pallas and self.fused_proj:
+            from tpuasr.ops.pallas_gru import gru_scan_xfused
+            cd = jnp.bfloat16 if self.bf16_kernel else x.dtype
+            mask = sequence_mask(lengths, T)
+            ys = gru_scan_xfused(
+                jnp.transpose(x, (1, 0, 2)).astype(cd),
+                wx.astype(cd), b, wh.astype(cd),
+                jnp.transpose(mask, (1, 0))[:, :, None]
+                .astype(jnp.float32))
+            y = jnp.transpose(ys, (1, 0, 2)).astype(x.dtype)
+            if self.reverse:
+                y = reverse_sequences(y, lengths)
+            return y * mask[:, :, None]
 
         if self.bf16_kernel:
             # bf16 input projection: the (B*T, D) @ (D, 3H) matmul runs at
@@ -156,6 +171,7 @@ class BiGRU(nn.Module):
     hidden: int
     use_pallas: bool = False
     bf16_kernel: bool = False
+    fused_proj: bool = False
     # One kernel advancing BOTH directions in lockstep: the two per-step
     # recurrent dots are independent, so the MXU pipelines one direction's
     # matmul under the other's VPU gate math. NOTE: different checkpoint
@@ -197,8 +213,10 @@ class BiGRU(nn.Module):
                     * mask[:, :, None])
         fwd = GRULayer(self.hidden, reverse=False, name="fwd",
                        use_pallas=self.use_pallas,
-                       bf16_kernel=self.bf16_kernel)(x, lengths)
+                       bf16_kernel=self.bf16_kernel,
+                       fused_proj=self.fused_proj)(x, lengths)
         bwd = GRULayer(self.hidden, reverse=True, name="bwd",
                        use_pallas=self.use_pallas,
-                       bf16_kernel=self.bf16_kernel)(x, lengths)
+                       bf16_kernel=self.bf16_kernel,
+                       fused_proj=self.fused_proj)(x, lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)

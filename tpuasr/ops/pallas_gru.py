@@ -504,3 +504,150 @@ def _bidir_bwd(res, dys):
 
 
 gru_scan_bidir.defvjp(_bidir_fwd, _bidir_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Projection-fused forward: the input projection x @ Wx + b happens INSIDE
+# the scan kernel, one (T_BLK*B, D) @ (D, 3H) MXU matmul per block, with Wx
+# resident in VMEM — the (T, B, 3H) xp tensor never exists in HBM (the scan
+# otherwise writes it from the projection matmul and reads it back: the
+# dominant AM memory traffic at large batch). Backward recomputes xp in XLA
+# and reuses the plain bwd kernel; dWx/dx/db are plain XLA matmuls.
+# ---------------------------------------------------------------------------
+
+
+def _t_blk_xf(B: int, D: int, H: int) -> int:
+    fixed = (D * 3 * H + H * 3 * H) * 4        # resident wx + wh (<= f32)
+    budget = max(2 ** 20, 12 * 2 ** 20 - fixed)
+    per_t = B * (D + H) * 4 * 2 * 2            # x in + ys out, double-buf
+    return max(1, min(16, budget // max(per_t, 1)))
+
+
+def _fwd_xf_kernel(H, T_BLK, x_ref, wx_ref, b_ref, wh_ref, mask_ref,
+                   ys_ref, h_scr):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    xb = x_ref[:]                               # (T_BLK, B, D)
+    TB, B, D = xb.shape
+    xp = jnp.dot(xb.reshape(TB * B, D), wx_ref[:],
+                 preferred_element_type=jnp.float32)
+    xp = (xp + b_ref[:]).reshape(TB, B, 3 * H)
+
+    def body(tt, h):
+        hp = jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                     preferred_element_type=jnp.float32)
+        r, z, n = _gates(xp[tt], hp, H)
+        h_new = (1.0 - z) * n + z * h
+        m = mask_ref[tt]
+        h_new = m * h_new + (1.0 - m) * h
+        ys_ref[tt] = h_new.astype(ys_ref.dtype)
+        return h_new
+
+    h_scr[:] = jax.lax.fori_loop(0, T_BLK, body, h_scr[:])
+
+
+@functools.lru_cache(maxsize=32)
+def _build_fwd_xf(T: int, B: int, D: int, H: int, interpret: bool = False,
+                  dtype: str = "float32"):
+    T_BLK = _t_blk_xf(B, D, H)
+    n_tb = T // T_BLK
+    io = jnp.dtype(dtype)
+    return pl.pallas_call(
+        functools.partial(_fwd_xf_kernel, H, T_BLK),
+        grid=(n_tb,),
+        in_specs=[
+            pl.BlockSpec((T_BLK, B, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T_BLK, B, H), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), io),
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+@jax.custom_vjp
+def gru_scan_xfused(x, wx, b, wh, mask):
+    """GRU scan with in-kernel input projection.
+
+    x (T, B, D), wx (D, 3H), b (3H,), wh (H, 3H), mask (T, B, 1)
+    -> ys (T, B, H). Forward never materializes xp in HBM; backward
+    recomputes xp (one XLA matmul) and reuses the plain BPTT kernel.
+    """
+    return _xf_impl(x, wx, b, wh, mask)
+
+
+def _xf_impl(x, wx, b, wh, mask):
+    T, B, D = x.shape
+    H = wh.shape[0]
+    Bp = _round_up(B, 8)
+    Dp = _round_up(D, 128)
+    Hp = _round_up(H, 128)
+    Tp = _round_up(T, _t_blk_xf(Bp, Dp, Hp))
+    x_p = jnp.zeros((Tp, Bp, Dp), x.dtype).at[:T, :B, :D].set(x)
+    wx_p = jnp.zeros((Dp, 3 * Hp), wx.dtype)
+    b_p = jnp.zeros((1, 3 * Hp), jnp.float32)
+    for g in range(3):
+        wx_p = wx_p.at[:D, g * Hp:g * Hp + H].set(
+            wx[:, g * H:(g + 1) * H])
+        b_p = b_p.at[0, g * Hp:g * Hp + H].set(
+            b[g * H:(g + 1) * H].astype(jnp.float32))
+    wh_p = jnp.zeros((Hp, 3 * Hp), wh.dtype)
+    for g in range(3):
+        wh_p = wh_p.at[:H, g * Hp:g * Hp + H].set(
+            wh[:, g * H:(g + 1) * H])
+    mask_p = jnp.zeros((Tp, Bp, 1), jnp.float32).at[:T, :B].set(
+        mask.astype(jnp.float32))
+    ys = _build_fwd_xf(Tp, Bp, Dp, Hp,
+                       jax.default_backend() != "tpu",
+                       str(x.dtype))(x_p, wx_p, b_p, wh_p, mask_p)
+    return ys[:T, :B, :H]
+
+
+def _xf_fwd(x, wx, b, wh, mask):
+    ys = _xf_impl(x, wx, b, wh, mask)
+    return ys, (x, wx, b, wh, mask, ys)
+
+
+def _xf_bwd(res, dys):
+    x, wx, b, wh, mask, ys = res
+    T, B, D = x.shape
+    H = wh.shape[0]
+    # Recompute xp once in XLA; reuse the plain BPTT kernel for dxp/dwh.
+    xp = (jnp.einsum("tbd,dh->tbh", x, wx.astype(x.dtype))
+          + b.astype(x.dtype))
+    xp_p, wh_p, mask_p, _ = _pad_args(xp, wh, mask)
+    Tp, Bp, H3p = xp_p.shape
+    Hp = H3p // 3
+    ys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(ys)
+    dys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(
+        dys.astype(ys.dtype))
+    ysp = jnp.concatenate(
+        [jnp.zeros((1, Bp, Hp), ys.dtype), ys_p[:-1]], axis=0)
+    dxp_p, dwh_p = _build_bwd(
+        Tp, Bp, Hp, jax.default_backend() != "tpu", str(xp.dtype))(
+            xp_p, ysp, wh_p, mask_p, dys_p)
+    dxp = jnp.concatenate(
+        [dxp_p[:T, :B, g * Hp:g * Hp + H] for g in range(3)],
+        axis=2).astype(jnp.float32)
+    dwh = jnp.concatenate(
+        [dwh_p[:H, g * Hp:g * Hp + H] for g in range(3)], axis=1)
+    dx = jnp.einsum("tbh,dh->tbd", dxp, wx.astype(jnp.float32))
+    dwx = jnp.einsum("tbd,tbh->dh", x.astype(jnp.float32), dxp)
+    db = jnp.sum(dxp, axis=(0, 1))
+    return (dx.astype(x.dtype), dwx.astype(wx.dtype), db.astype(b.dtype),
+            dwh.astype(wh.dtype), None)
+
+
+gru_scan_xfused.defvjp(_xf_fwd, _xf_bwd)
