@@ -60,3 +60,32 @@ def test_cli_train_predict_test(tmp_path):
                   "--units", corpus.root / "units.txt",
                   "--batch-size", 4, "--max-label-len", 4)
     assert "token-error-rate" in out
+
+    # ---- LM toolkit: train G from the transcripts, decode with it ----
+    arpa = tmp_path / "g.arpa"
+    out = run_cli("lm.py", "train", "--manifest", corpus.manifest,
+                  "--units", corpus.root / "units.txt",
+                  "--order", 2, "--out", arpa)
+    assert arpa.exists() and "trained order-2 LM" in out
+    out = run_cli("lm.py", "ppl", "--lm", arpa,
+                  "--manifest", corpus.manifest,
+                  "--units", corpus.root / "units.txt")
+    assert "perplexity:" in out
+    # n-best rescoring and on-device shallow fusion paths both run.
+    out = run_cli("predict.py", "deepspeech_ctc", wav,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt", "--beam",
+                  "--lm", arpa, "--lm-weight", "0.5", "--nbest", 2)
+    assert str(wav) in out
+    out = run_cli("predict.py", "deepspeech_ctc", wav,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt", "--beam",
+                  "--lm", arpa, "--lm-fusion", "--lm-weight", "0.5")
+    assert str(wav) in out
+    out = run_cli("test.py", "deepspeech_ctc",
+                  "--manifest", corpus.manifest,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt",
+                  "--batch-size", 4, "--max-label-len", 4,
+                  "--beam", "--lm", arpa, "--lm-fusion")
+    assert "token-error-rate" in out

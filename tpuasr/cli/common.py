@@ -34,6 +34,36 @@ def add_common_flags(p: argparse.ArgumentParser):
     return p
 
 
+def add_lm_flags(p: argparse.ArgumentParser):
+    g = p.add_argument_group("language model (the G of the reference's "
+                             "TLG decode path)")
+    g.add_argument("--lm", type=str, default=None,
+                   help="ARPA n-gram LM over the unit symbols (see "
+                        "'python lm.py train' to build one from a manifest)")
+    g.add_argument("--lm-weight", type=float, default=1.0,
+                   help="LM interpolation weight (shallow fusion or "
+                        "rescoring)")
+    g.add_argument("--lm-fusion", action="store_true",
+                   help="apply the LM during the beam search (on-device "
+                        "bigram shallow fusion; full-order context is used "
+                        "by the default n-best rescoring instead)")
+    return p
+
+
+def load_lm(args):
+    """NGramLM from --lm, or None."""
+    if not getattr(args, "lm", None):
+        return None
+    from tpuasr.lm import NGramLM
+    return NGramLM.load_arpa(args.lm)
+
+
+def lm_symbols(units: list[str], num_classes: int) -> list[str]:
+    if units:
+        return units
+    return [str(i) for i in range(num_classes)]
+
+
 def feature_config(args) -> FeatureConfig:
     no_cmvn = getattr(args, "no_cmvn", False)
     return FeatureConfig(sample_rate=args.sample_rate, n_mels=args.n_mels,

@@ -11,8 +11,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuasr.cli.common import (add_common_flags, feature_config, load_units,
-                               make_word_decoder, tokens_to_text)
+from tpuasr.cli.common import (add_common_flags, add_lm_flags,
+                               feature_config, lm_symbols, load_lm,
+                               load_units, make_word_decoder, tokens_to_text)
 from tpuasr.decode import (BeamSearchConfig, get_beam_search,
                            greedy_decode)
 from tpuasr.features import FeatureConfig, Featurizer
@@ -36,6 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="beam search implementation (pallas = TPU kernel)")
     p.add_argument("--nbest", type=int, default=1,
                    help="print the top-N beam hypotheses per wav")
+    add_lm_flags(p)
     return p
 
 
@@ -80,16 +82,45 @@ def main(argv=None) -> int:
 
     logp, out_lens = forward(jnp.asarray(batch),
                              jnp.asarray(lens, dtype=jnp.int32))
+    lm = load_lm(args)
+    if lm is not None and not args.beam:
+        raise SystemExit("--lm requires --beam (the LM applies to beam "
+                         "hypotheses)")
     n_best = max(1, args.nbest) if args.beam else 1
     if args.beam:
         cfg = BeamSearchConfig(beam_width=max(args.beam_width, n_best),
                                class_topk=args.class_topk,
-                               max_len=int(logp.shape[1]))
-        out = get_beam_search(args.beam_impl)(logp, out_lens, cfg,
-                                              n_best=n_best)
+                               max_len=int(logp.shape[1]),
+                               lm_weight=args.lm_weight if args.lm_fusion
+                               else 0.0)
+        syms = lm_symbols(units, num_classes)
+        beam_kwargs = {}
+        impl = args.beam_impl
+        if lm is not None and args.lm_fusion:
+            # On-device bigram shallow fusion (XLA search path; the Pallas
+            # kernel doesn't carry LM state).
+            beam_kwargs = dict(lm_bigram=lm.fusion_matrix(syms),
+                               lm_eos=lm.eos_vector(syms))
+            impl = "xla"
+        rescore = lm is not None and not args.lm_fusion
+        # Rescoring re-ranks the WHOLE beam, then keeps the top n_best.
+        search_n = cfg.beam_width if rescore else n_best
+        out = get_beam_search(impl)(logp, out_lens, cfg, n_best=search_n,
+                                    **beam_kwargs)
         toks = np.asarray(out["tokens"])
         tok_lens = np.asarray(out["token_lens"])
         scores = np.asarray(out["scores"])
+        if rescore:
+            # Full-order n-best rescoring (the lattice-rescoring analog).
+            from tpuasr.lm import rescore_nbest
+            scores = rescore_nbest(lm, toks, tok_lens, scores, syms,
+                                   lm_weight=args.lm_weight)
+            order = np.argsort(-scores, axis=1)
+            toks = np.take_along_axis(toks, order[:, :, None], axis=1)
+            tok_lens = np.take_along_axis(tok_lens, order, axis=1)
+            scores = np.take_along_axis(scores, order, axis=1)
+        toks, tok_lens = toks[:, :n_best], tok_lens[:, :n_best]
+        scores = scores[:, :n_best]
     else:
         t, l = greedy_decode(logp, out_lens)
         toks = np.asarray(t)[:, None]

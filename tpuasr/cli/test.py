@@ -10,8 +10,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuasr.cli.common import (add_common_flags, feature_config, load_units,
-                               make_word_decoder)
+from tpuasr.cli.common import (add_common_flags, add_lm_flags,
+                               feature_config, lm_symbols, load_lm,
+                               load_units, make_word_decoder)
 from tpuasr.data import AudioLoader, LoaderConfig
 from tpuasr.decode import (BeamSearchConfig, get_beam_search,
                            greedy_decode)
@@ -35,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beam-impl", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="beam search implementation (pallas = TPU kernel)")
+    add_lm_flags(p)
     return p
 
 
@@ -64,6 +66,11 @@ def main(argv=None) -> int:
         feats, flens = fz._featurize(wav, wav_lens)
         return model.apply(variables, feats, flens, train=False)
 
+    lm = load_lm(args)
+    if lm is not None and not args.beam:
+        raise SystemExit("--lm requires --beam (the LM applies to beam "
+                         "hypotheses)")
+    syms = lm_symbols(units, num_classes)
     word_dec, words = make_word_decoder(args)
     utt_text = {u.id: u.text for u in loader.utts}
     refs, hyps = [], []
@@ -72,12 +79,33 @@ def main(argv=None) -> int:
         logp, out_lens = forward(jnp.asarray(batch["wav"]),
                                  jnp.asarray(batch["wav_lens"]))
         if args.beam:
+            rescore = lm is not None and not args.lm_fusion
             cfg = BeamSearchConfig(beam_width=args.beam_width,
                                    class_topk=args.class_topk,
-                                   max_len=int(logp.shape[1]))
-            out = get_beam_search(args.beam_impl)(logp, out_lens, cfg)
-            toks = np.asarray(out["tokens"])[:, 0]
-            tok_lens = np.asarray(out["token_lens"])[:, 0]
+                                   max_len=int(logp.shape[1]),
+                                   lm_weight=args.lm_weight
+                                   if args.lm_fusion else 0.0)
+            beam_kwargs = {}
+            impl = args.beam_impl
+            if lm is not None and args.lm_fusion:
+                beam_kwargs = dict(lm_bigram=lm.fusion_matrix(syms),
+                                   lm_eos=lm.eos_vector(syms))
+                impl = "xla"
+            out = get_beam_search(impl)(
+                logp, out_lens, cfg,
+                n_best=cfg.beam_width if rescore else 1, **beam_kwargs)
+            toks_nb = np.asarray(out["tokens"])
+            lens_nb = np.asarray(out["token_lens"])
+            if rescore:
+                from tpuasr.lm import rescore_nbest
+                sc = rescore_nbest(lm, toks_nb, lens_nb,
+                                   np.asarray(out["scores"]), syms,
+                                   lm_weight=args.lm_weight)
+                best = np.argmax(sc, axis=1)
+                rows = np.arange(len(best))
+                toks, tok_lens = toks_nb[rows, best], lens_nb[rows, best]
+            else:
+                toks, tok_lens = toks_nb[:, 0], lens_nb[:, 0]
         else:
             t, l = greedy_decode(logp, out_lens)
             toks, tok_lens = np.asarray(t), np.asarray(l)

@@ -55,6 +55,11 @@ class BeamSearchConfig:
     # bonus) — the lightweight stand-in for the reference latgen path's
     # LM weighting; hypothesis scores then include the bias.
     token_insertion_bonus: float = 0.0
+    # Weight on the n-gram LM term when ``lm_bigram`` is passed to
+    # ctc_beam_search (shallow fusion: prune/rank by acoustic + lm_weight *
+    # LM(prefix) — the grammar "G" of the reference's TLG path, see
+    # tpuasr/lm/ngram.py).
+    lm_weight: float = 0.0
 
 
 def apply_score_bias(log_probs, cfg: "BeamSearchConfig", token_bias=None):
@@ -87,24 +92,44 @@ def beam_init_state(B: int, cfg: BeamSearchConfig) -> dict:
         last=jnp.full((B, K), -1, jnp.int32),
         p_b=jnp.where(beam0, 0.0, NEG_INF) * jnp.ones((B, 1)),
         p_nb=jnp.full((B, K), NEG_INF),
+        # Cumulative (unweighted) LM log-prob of each prefix; stays 0 when
+        # no lm_bigram is supplied. A pure function of the prefix, so the
+        # hash-join merge never needs to touch it.
+        lm=jnp.zeros((B, K)),
         # Distinct hashes for dead beams so they never merge with live ones.
         h1=(_H1_INIT + jnp.arange(K, dtype=jnp.uint32))[None, :].repeat(B, 0),
         h2=(_H2_INIT + jnp.arange(K, dtype=jnp.uint32))[None, :].repeat(B, 0),
     )
 
 
-def beam_results(state: dict, n_best: int = 1) -> dict:
-    """Rank a beam state's hypotheses (the tail of ctc_beam_search)."""
-    total = _logaddexp(state["p_b"], state["p_nb"])     # (B, K)
+def beam_results(state: dict, n_best: int = 1, lm_weight: float = 0.0,
+                 lm_eos=None) -> dict:
+    """Rank a beam state's hypotheses (the tail of ctc_beam_search).
+
+    With shallow fusion, ``scores`` is acoustic + lm_weight * LM(prefix)
+    (plus the end-of-sentence term when ``lm_eos`` — a (C+1,) table of
+    ln P(</s> | last token), row 0 = empty prefix — is given); ``am_scores``
+    and ``lm_scores`` break it down.
+    """
+    am = _logaddexp(state["p_b"], state["p_nb"])        # (B, K)
+    lm = state.get("lm")
+    if lm is None:
+        lm = jnp.zeros_like(am)
+    if lm_eos is not None:
+        lm = lm + jnp.asarray(lm_eos)[state["last"] + 1]
+    total = am + lm_weight * lm
     score, idx = jax.lax.top_k(total, n_best)
     tokens = jnp.take_along_axis(state["prefixes"], idx[:, :, None], axis=1)
     token_lens = jnp.take_along_axis(state["plen"], idx, axis=1)
-    return dict(tokens=tokens, token_lens=token_lens, scores=score)
+    return dict(tokens=tokens, token_lens=token_lens, scores=score,
+                am_scores=jnp.take_along_axis(am, idx, axis=1),
+                lm_scores=jnp.take_along_axis(lm, idx, axis=1))
 
 
 def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
                     n_best: int = 1, init_state: dict = None,
-                    return_state: bool = False):
+                    return_state: bool = False, lm_bigram=None,
+                    lm_eos=None):
     """CTC prefix beam search over a batch.
 
     Args:
@@ -115,11 +140,19 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
       init_state: resume from a previous call's state (streaming decode);
         default = fresh beam_init_state.
       return_state: also return the final state under key "state".
+      lm_bigram: optional (C+1, C) shallow-fusion table: row r = ln
+        P(class | prev) with r=0 the empty-prefix context (see
+        NGramLM.fusion_matrix). Beams are pruned and ranked by
+        acoustic + cfg.lm_weight * LM(prefix); merges are unaffected
+        because equal prefixes have equal LM scores.
+      lm_eos: optional (C+1,) ln P(</s> | last) added (weighted) at final
+        ranking only.
 
     Returns dict with:
       tokens: (B, n_best, max_len) int32, padded with -1
       token_lens: (B, n_best) int32
       scores: (B, n_best) float32 total log-prob of each prefix
+      am_scores/lm_scores: (B, n_best) float32 fusion breakdown
       state: (if return_state) carry for a follow-up call
     """
     if cfg is None:
@@ -128,15 +161,20 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
     K, P, L = cfg.beam_width, cfg.class_topk, cfg.max_len
     P = min(P, C - 1)  # blank handled separately
     blank = cfg.blank
+    lm_w = cfg.lm_weight
+    if lm_bigram is not None:
+        lm_bigram = jnp.asarray(lm_bigram)
 
     init = init_state if init_state is not None else beam_init_state(B, cfg)
+    if "lm" not in init:   # states from older callers / other impls
+        init = dict(init, lm=jnp.zeros((B, K)))
 
     def step(state, inp):
         lp_t, t = inp                                   # lp_t: (B, C)
         p_b, p_nb = state["p_b"], state["p_nb"]
         last, plen = state["last"], state["plen"]
         h1, h2 = state["h1"], state["h2"]
-        prefixes = state["prefixes"]
+        prefixes, lm = state["prefixes"], state["lm"]
 
         lp_blank = lp_t[:, blank]                       # (B,)
         # Top-P non-blank classes this frame.
@@ -163,6 +201,15 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         cu = (c + 1).astype(jnp.uint32)
         ext_h1 = h1[:, :, None] * _H1_MUL + cu
         ext_h2 = h2[:, :, None] * _H2_MUL + cu
+        if lm_bigram is not None:
+            # ln P(c | last) per extension; context row 0 = empty prefix.
+            lm_rows = lm_bigram[last + 1]               # (B, K, C)
+            lm_step = jnp.take_along_axis(
+                lm_rows, jnp.broadcast_to(top_c[:, None, :], (B, K, P)),
+                axis=2)                                 # (B, K, P)
+            ext_lm = lm[:, :, None] + lm_step
+        else:
+            ext_lm = jnp.broadcast_to(lm[:, :, None], (B, K, P))
 
         # ---- merge: hash-join extends into existing beams ----
         # match[b, k, p, j]: extend (k, p) spells the same prefix as beam j.
@@ -185,6 +232,7 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
             [stay_p_nb, ext_p_nb.reshape(B, K * P)], axis=1)
         cand_h1 = jnp.concatenate([h1, ext_h1.reshape(B, K * P)], axis=1)
         cand_h2 = jnp.concatenate([h2, ext_h2.reshape(B, K * P)], axis=1)
+        cand_lm = jnp.concatenate([lm, ext_lm.reshape(B, K * P)], axis=1)
         parent = jnp.concatenate(
             [jnp.arange(K)[None].repeat(B, 0),
              (jnp.arange(K)[:, None].repeat(P, 1).reshape(-1))[None]
@@ -194,12 +242,13 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
              top_c[:, None, :].repeat(K, 1).reshape(B, K * P)], axis=1)
 
         # ---- prune to top-K by total prob (the only ordering op) ----
-        total = _logaddexp(cand_p_b, cand_p_nb)
+        total = _logaddexp(cand_p_b, cand_p_nb) + lm_w * cand_lm
         _, top_idx = jax.lax.top_k(total, K)            # (B, K)
         def h(x):
             return jnp.take_along_axis(x, top_idx, axis=1)
         new_p_b, new_p_nb = h(cand_p_b), h(cand_p_nb)
         new_h1, new_h2 = h(cand_h1), h(cand_h2)
+        new_lm = h(cand_lm)
         sel_parent, sel_char = h(parent), h(ext_char)
 
         # ---- materialize prefixes ----
@@ -223,14 +272,15 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         new_state = dict(
             prefixes=fz(new_prefixes, prefixes), plen=fz(new_plen, plen),
             last=fz(new_last, last), p_b=fz(new_p_b, p_b),
-            p_nb=fz(new_p_nb, p_nb), h1=fz(new_h1, h1), h2=fz(new_h2, h2),
+            p_nb=fz(new_p_nb, p_nb), lm=fz(new_lm, lm),
+            h1=fz(new_h1, h1), h2=fz(new_h2, h2),
         )
         return new_state, None
 
     lp_seq = jnp.transpose(log_probs, (1, 0, 2))        # (T, B, C)
     final, _ = jax.lax.scan(step, init, (lp_seq, jnp.arange(T)))
 
-    out = beam_results(final, n_best)
+    out = beam_results(final, n_best, lm_weight=lm_w, lm_eos=lm_eos)
     if return_state:
         out["state"] = final
     return out
