@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--ckpt-every-steps", type=int, default=500)
     p.add_argument("--objective", default="ctc",
-                   choices=["ctc", "framewise_ce", "seq2seq_ce"])
+                   choices=["ctc", "framewise_ce", "seq2seq_ce",
+                            "ssvae_elbo"])
     p.add_argument("--ctc-impl", default="fb",
                    choices=["ref", "fb", "pallas"],
                    help="CTC loss implementation (pallas = TPU kernel)")
@@ -93,10 +94,11 @@ def main(argv=None) -> int:
         if getattr(args, k, None) == defaults.get_default(k):
             setattr(cfg, k, v)
     feat_cfg = feature_config(args)
+    framewise = args.objective in ("framewise_ce", "ssvae_elbo")
     lcfg = LoaderConfig(batch_size=args.batch_size,
                         max_label_len=args.max_label_len, seed=args.seed,
-                        frame_label_cfg=(feat_cfg if args.objective ==
-                                         "framewise_ce" else None))
+                        frame_label_cfg=feat_cfg if framewise else None,
+                        unlabeled_frames=args.objective == "ssvae_elbo")
     train_loader = AudioLoader(args.train_manifest, lcfg)
     dev_loader = (AudioLoader(args.dev_manifest,
                               LoaderConfig(batch_size=args.batch_size,

@@ -28,6 +28,10 @@ class LoaderConfig:
     # derived from utterance `segments` (frame-wise training; reference's
     # CapsNet/SSVAE mode): batch["frame_labels"] (B, T_frames) i32, blank=0.
     frame_label_cfg: object = None
+    # With frame_label_cfg: utterances that carry NO `segments` get
+    # frame_labels = -1 (unlabeled) instead of 0 (silence) — the
+    # semi-supervised split for the ssvae_elbo objective.
+    unlabeled_frames: bool = False
     # Train-time waveform augmentation (host-side, before device transfer;
     # reference's dataset offered similar perturbations [M]). Off by default.
     augment: bool = False
@@ -139,6 +143,9 @@ class AudioLoader:
             T = int(num_frames(fc, S))
             fl = np.zeros((B, max(T, 1)), np.int32)
             for j, u in enumerate(utts):
+                if self.cfg.unlabeled_frames and not u.segments:
+                    fl[j, :] = -1
+                    continue
                 for tok, s0, s1 in u.segments:
                     # Label frames whose center falls inside the segment.
                     center0 = fc.win_length // 2

@@ -94,16 +94,18 @@ class SSVAELoss:
     num_classes: int
     alpha: float = 1.0        # supervised classifier weight
 
-    def supervised(self, model, variables, x, y, rng):
+    def supervised_frames(self, model, variables, x, y, rng):
+        """Per-frame supervised loss L(x, y) + alpha*CE — (N,)."""
         y1 = jax.nn.one_hot(y, self.num_classes)
         out = model.apply(variables, x, y1, rng)
         log_py = -jnp.log(float(self.num_classes))  # uniform prior over y
         elbo_neg = out["rec"] + out["kl"] - log_py
         ce = -jnp.take_along_axis(
             jax.nn.log_softmax(out["logits"], -1), y[:, None], axis=1)[:, 0]
-        return jnp.mean(elbo_neg + self.alpha * ce)
+        return elbo_neg + self.alpha * ce, out["logits"]
 
-    def unsupervised(self, model, variables, x, rng):
+    def unsupervised_frames(self, model, variables, x, rng):
+        """Per-frame unsupervised loss U(x) (y enumerated) — (N,)."""
         C = self.num_classes
         B = x.shape[0]
         # q(y|x) from the classifier; enumerate all y (C small for phones).
@@ -116,6 +118,16 @@ class SSVAELoss:
             out = model.apply(variables, x, y1, jax.random.fold_in(rng, y_idx))
             return out["rec"] + out["kl"] + jnp.log(float(C))
 
-        neg_elbos = jnp.stack([neg_elbo_for(c) for c in range(C)], axis=1)
-        u = jnp.sum(q_y * neg_elbos, axis=1) + jnp.sum(q_y * log_q_y, axis=1)
-        return jnp.mean(u)
+        # Sequential over classes (lax.map) bounds peak memory to one
+        # class's activations — C x N x hidden at once would not fit for
+        # real batch sizes.
+        neg_elbos = jax.lax.map(neg_elbo_for, jnp.arange(C)).T  # (B, C)
+        return (jnp.sum(q_y * neg_elbos, axis=1)
+                + jnp.sum(q_y * log_q_y, axis=1))
+
+    def supervised(self, model, variables, x, y, rng):
+        losses, _ = self.supervised_frames(model, variables, x, y, rng)
+        return jnp.mean(losses)
+
+    def unsupervised(self, model, variables, x, rng):
+        return jnp.mean(self.unsupervised_frames(model, variables, x, rng))

@@ -52,11 +52,16 @@ class TrainConfig:
     bf16_compute: bool = False
     ctc_impl: str = "fb"             # ref | fb | pallas
     fused_featurizer: bool = False   # Pallas fused featurizer kernel
-    # Objective: "ctc" (sequence training) or "framewise_ce" (per-frame
+    # Objective: "ctc" (sequence training), "framewise_ce" (per-frame
     # cross-entropy on aligned frame labels — the reference's CapsNet/SSVAE
-    # frame-classifier mode; requires LoaderConfig.frame_label_cfg).
+    # frame-classifier mode; requires LoaderConfig.frame_label_cfg), or
+    # "ssvae_elbo" (model "ssvae" only: the M2 semi-supervised objective —
+    # supervised ELBO on labeled frames, enumerated ELBO on unlabeled ones
+    # (frame_labels == -1); reference asr/models/ssvae Pyro SVI loop,
+    # SURVEY.md section 3.5).
     objective: str = "ctc"
     label_stride: int = 2            # model time downsampling for framewise
+    ssvae_alpha: float = 1.0         # classifier weight in the M2 loss
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -139,6 +144,9 @@ class Trainer:
                                                   dither_key)
         if self.cfg.bf16_compute:
             feats = feats.astype(jnp.bfloat16)
+        if self.cfg.objective == "ssvae_elbo":
+            return self._ssvae_elbo_loss(params, batch_stats, batch, feats,
+                                         flens, dropout_rng)
         variables = {"params": params, "batch_stats": batch_stats}
         seq2seq = self.cfg.objective == "seq2seq_ce"
         kwargs = {}
@@ -184,6 +192,46 @@ class Trainer:
                                out_lens, batch["token_lens"])
             loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
         return loss, (new_stats, logp, out_lens)
+
+    def _ssvae_elbo_loss(self, params, batch_stats, batch, feats, flens,
+                         rng):
+        """M2 semi-supervised ELBO over frames: supervised where
+        frame_labels >= 0, label-enumerated unsupervised where == -1
+        (the loader marks segment-less utterances that way when
+        LoaderConfig.unlabeled_frames is set)."""
+        from tpuasr.models.ssvae import SSVAE, SSVAELoss
+        if self.cfg.model != "ssvae":
+            raise ValueError("objective 'ssvae_elbo' requires model 'ssvae'")
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        C = self.cfg.num_classes
+        B, Tp, F = feats.shape
+        x = feats.reshape(B * Tp, F).astype(jnp.float32)
+        fl = batch["frame_labels"][:, :Tp]
+        fl = jnp.pad(fl, ((0, 0), (0, Tp - fl.shape[1])),
+                     constant_values=-1)
+        w = batch["real"].astype(jnp.float32)
+        valid = ((jnp.arange(Tp)[None, :] < flens[:, None])
+                 & (w[:, None] > 0)).reshape(B * Tp)
+        fl_flat = fl.reshape(B * Tp)
+        sup_m = (valid & (fl_flat >= 0)).astype(jnp.float32)
+        uns_m = (valid & (fl_flat < 0)).astype(jnp.float32)
+
+        mdl = SSVAE(num_classes=C,
+                    **{k: v for k, v in self.cfg.model_kwargs.items()
+                       if k in ("latent_dim", "hidden")})
+        # The SSVAEAM adapter nests the module under params["ssvae"].
+        variables = {"params": params["ssvae"]}
+        lobj = SSVAELoss(num_classes=C, alpha=self.cfg.ssvae_alpha)
+        sup_l, logits = lobj.supervised_frames(
+            mdl, variables, x, jnp.maximum(fl_flat, 0),
+            jax.random.fold_in(rng, 2))
+        uns_l = lobj.unsupervised_frames(mdl, variables, x,
+                                         jax.random.fold_in(rng, 3))
+        denom = jnp.maximum(jnp.sum(sup_m) + jnp.sum(uns_m), 1.0)
+        loss = (jnp.sum(sup_l * sup_m) + jnp.sum(uns_l * uns_m)) / denom
+        logp = jax.nn.log_softmax(logits, -1).reshape(B, Tp, C)
+        return loss, (batch_stats, logp, flens)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, batch: dict) -> tuple:
