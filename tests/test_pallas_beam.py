@@ -51,6 +51,39 @@ def test_matches_xla_beam_small(seed):
                                        rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_lm_fusion_matches_xla_beam(seed):
+    """Shallow fusion inside the kernel == the XLA scan version."""
+    from tpuasr.lm import train_ngram
+    rng = np.random.default_rng(seed)
+    B, T, C = 2, 6, 4
+    syms = ["<blk>", "a", "b", "c"]
+    lm = train_ngram([["c", "a"], ["a", "b", "c"], ["b", "a"]] * 3, order=2)
+    bigram = lm.fusion_matrix(syms, blank=0)
+    eos = lm.eos_vector(syms)
+    logits = rng.standard_normal((B, T, C)).astype(np.float32) * 1.5
+    lp = jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    lens = jnp.array([T, T - 2])
+    cfg = BeamSearchConfig(beam_width=4, class_topk=C - 1, max_len=T,
+                           lm_weight=0.7)
+    a = ctc_beam_search(lp, lens, cfg, n_best=2, lm_bigram=bigram,
+                        lm_eos=eos)
+    b = ctc_beam_search_pallas(lp, lens, cfg, n_best=2, lm_bigram=bigram,
+                               lm_eos=eos)
+    for bi in range(B):
+        for ni in range(2):
+            na = int(a["token_lens"][bi, ni])
+            nb = int(b["token_lens"][bi, ni])
+            assert na == nb, (bi, ni)
+            np.testing.assert_array_equal(
+                np.asarray(a["tokens"])[bi, ni, :na],
+                np.asarray(b["tokens"])[bi, ni, :nb])
+            for key in ("scores", "am_scores", "lm_scores"):
+                np.testing.assert_allclose(float(a[key][bi, ni]),
+                                           float(b[key][bi, ni]),
+                                           rtol=1e-4, atol=1e-4)
+
+
 def test_respects_lengths(rng):
     T, C = 8, 4
     logits = rng.standard_normal((1, T, C)).astype(np.float32)

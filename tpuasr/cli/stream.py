@@ -8,7 +8,8 @@ from __future__ import annotations
 import argparse
 import dataclasses
 
-from tpuasr.cli.common import load_units, tokens_to_text
+from tpuasr.cli.common import add_lm_flags, load_lm, load_units, \
+    tokens_to_text
 from tpuasr.features import FeatureConfig
 from tpuasr.serve import StreamingRecognizer
 from tpuasr.train.checkpoints import load_for_inference
@@ -21,6 +22,12 @@ def build_parser() -> argparse.ArgumentParser:
                    required=True)
     p.add_argument("--units", default=None)
     p.add_argument("--chunk-ms", type=float, default=200.0)
+    p.add_argument("--beam", action="store_true",
+                   help="resumable prefix beam search across chunks "
+                        "(prints the running best hypothesis per chunk; "
+                        "earlier output may be revised)")
+    p.add_argument("--beam-width", type=int, default=8)
+    add_lm_flags(p)
     return p
 
 
@@ -47,14 +54,32 @@ def main(argv=None) -> int:
         raise SystemExit(f"sample rate {sr} != {feat_cfg.sample_rate}")
     chunk = max(1, int(sr * args.chunk_ms / 1000.0))
 
-    rec = StreamingRecognizer(variables, feat_cfg)
+    lm = load_lm(args)
+    if args.beam or lm is not None:
+        from tpuasr.cli.common import lm_symbols
+        from tpuasr.decode import BeamSearchConfig
+        num_classes = meta.get("num_classes") or len(units)
+        cfg = BeamSearchConfig(beam_width=args.beam_width,
+                               lm_weight=args.lm_weight if lm else 0.0)
+        kw = {}
+        if lm is not None:
+            syms = lm_symbols(units, num_classes)
+            kw = dict(lm_bigram=lm.fusion_matrix(syms),
+                      lm_eos=lm.eos_vector(syms))
+        rec = StreamingRecognizer(variables, feat_cfg, decode="beam",
+                                  beam_cfg=cfg, **kw)
+        beam_mode = True
+    else:
+        rec = StreamingRecognizer(variables, feat_cfg)
+        beam_mode = False
     t_ms = 0.0
     for s in range(0, len(wav), chunk):
         toks = rec.feed(wav[s:s + chunk])
         t_ms += args.chunk_ms
         if toks:
-            print(f"[{t_ms / 1000.0:7.2f}s] {tokens_to_text(toks, units)}",
-                  flush=True)
+            tag = "hyp" if beam_mode else "new"
+            print(f"[{t_ms / 1000.0:7.2f}s {tag}] "
+                  f"{tokens_to_text(toks, units)}", flush=True)
     toks = rec.flush()
     if toks:
         print(f"[  final] {tokens_to_text(toks, units)}")

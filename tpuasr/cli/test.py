@@ -90,7 +90,6 @@ def main(argv=None) -> int:
             if lm is not None and args.lm_fusion:
                 beam_kwargs = dict(lm_bigram=lm.fusion_matrix(syms),
                                    lm_eos=lm.eos_vector(syms))
-                impl = "xla"
             out = get_beam_search(impl)(
                 logp, out_lens, cfg,
                 n_best=cfg.beam_width if rescore else 1, **beam_kwargs)

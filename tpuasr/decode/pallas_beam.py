@@ -78,9 +78,14 @@ def _set_lane(arr, lane: int, val):
     return jnp.where(_lane_iota(arr.shape) == lane, val, arr)
 
 
-def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
-                 parent_ref, char_ref, pb_out, pnb_out,
-                 p_b, p_nb, h1, h2, last, plen):
+def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
+    if have_lm:
+        (lp_ref, lens_ref, lm_ref, parent_ref, char_ref, pb_out, pnb_out,
+         lm_out, last_out, p_b, p_nb, h1, h2, last, plen, lm_acc) = refs
+    else:
+        (lp_ref, lens_ref, parent_ref, char_ref, pb_out, pnb_out,
+         lm_out, last_out, p_b, p_nb, h1, h2, last, plen, lm_acc) = refs
+        lm_ref = None
     t_blk = pl.program_id(1)
 
     @pl.when(t_blk == 0)
@@ -92,6 +97,9 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
         h2[:] = _I2 + lane
         last[:] = jnp.full(last.shape, -1, jnp.int32)
         plen[:] = jnp.zeros(plen.shape, jnp.int32)
+        lm_acc[:] = jnp.zeros(lm_acc.shape, jnp.float32)
+
+    lm_tab = lm_ref[:] if have_lm else None      # (C1_pad, C_pad)
 
     def step(tt, _):
         t_abs = t_blk * t_blk_n + tt
@@ -103,6 +111,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
         cur_pb, cur_pnb = p_b[:], p_nb[:]
         cur_h1, cur_h2, cur_last = h1[:], h2[:], last[:]
         cur_plen = plen[:]
+        cur_lm = lm_acc[:] if have_lm else None
         p_tot = _logaddexp(cur_pb, cur_pnb)              # (B, K_LANES)
 
         # ---- stay candidates ----
@@ -150,6 +159,30 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
         lane_k = _lane_iota(stay_tot.shape)
         stay_tot = jnp.where(lane_k < K, stay_tot, NEG_INF)
 
+        # ---- shallow fusion: selection ranks = acoustic + lm_w * LM ----
+        # Stored probabilities stay acoustic-only (matching the XLA
+        # version); the cumulative LM score rides its own lane tile.
+        if have_lm:
+            g_lm = [_gather_lane(cur_lm, kconst[k]) for k in range(K)]
+            ext_lms, ranks = [], []
+            for k in range(K):
+                # lm_tab row (g_last[k] + 1) per batch row, as a one-hot
+                # matmul (MXU) — no dynamic VMEM indexing.
+                oh = (_lane_iota((B_BLK, lm_tab.shape[0]))
+                      == (g_last[k] + 1)).astype(jnp.float32)
+                row = jax.lax.dot_general(
+                    oh, lm_tab, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (B, C_pad)
+                ext_lm = g_lm[k] + row
+                ext_lms.append(ext_lm)
+                ranks.append(exts[k] + lm_w * ext_lm)
+            stay_rank = jnp.where(lane_k < K,
+                                  stay_tot + lm_w * cur_lm, NEG_INF)
+        else:
+            ext_lms = None
+            ranks = exts
+            stay_rank = stay_tot
+
         # ---- top-K selection across stays + K extend arrays ----
         new_pb = jnp.full((B_BLK, LANES), NEG_INF)
         new_pnb = jnp.full((B_BLK, LANES), NEG_INF)
@@ -157,12 +190,14 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
         new_h2 = _I2 + lane_k + np.int32(3333) * (t_abs + 1)
         new_last = jnp.full((B_BLK, LANES), -1, jnp.int32)
         new_plen = jnp.zeros((B_BLK, LANES), jnp.int32)
+        new_lm = (jnp.zeros((B_BLK, LANES), jnp.float32) if have_lm
+                  else None)
         parents = jnp.zeros((B_BLK, LANES), jnp.int32)
         chars = jnp.full((B_BLK, LANES), -1, jnp.int32)
 
         for sel in range(K):
-            s_idx, s_max = _argmax_lane(stay_tot)
-            e_idx, e_max = zip(*[_argmax_lane(e) for e in exts])
+            s_idx, s_max = _argmax_lane(stay_rank)
+            e_idx, e_max = zip(*[_argmax_lane(r) for r in ranks])
             best = s_max
             for em in e_max:
                 best = jnp.maximum(best, em)
@@ -186,12 +221,21 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
                                  _gather_lane(cur_last, s_idx), -1)
             sel_plen = jnp.where(take_stay,
                                  _gather_lane(cur_plen, s_idx), 0)
+            sel_lm = (jnp.where(take_stay, _gather_lane(cur_lm, s_idx), 0.0)
+                      if have_lm else None)
             sel_parent = jnp.where(take_stay, s_idx, 0)
             sel_char = jnp.full((B_BLK, 1), -1, jnp.int32)
             for k in range(K):
                 tk = take_ext[k]
                 c_idx = e_idx[k]
-                sel_pnb = jnp.where(tk, e_max[k], sel_pnb)
+                if have_lm:
+                    # Ranks include the LM term; stored p_nb is acoustic.
+                    sel_pnb = jnp.where(tk, _gather_lane(exts[k], c_idx),
+                                        sel_pnb)
+                    sel_lm = jnp.where(tk, _gather_lane(ext_lms[k], c_idx),
+                                       sel_lm)
+                else:
+                    sel_pnb = jnp.where(tk, e_max[k], sel_pnb)
                 sel_pb = jnp.where(tk, NEG_INF, sel_pb)
                 sel_h1 = jnp.where(tk, g_h1[k] * _M1 + c_idx + 1, sel_h1)
                 sel_h2 = jnp.where(tk, g_h2[k] * _M2 + c_idx + 1, sel_h2)
@@ -211,6 +255,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
             sel_last = jnp.where(dead, -1, sel_last)
             sel_char = jnp.where(dead, -1, sel_char)
             sel_plen = jnp.where(dead, 0, sel_plen)
+            if have_lm:
+                sel_lm = jnp.where(dead, 0.0, sel_lm)
             sel_parent = jnp.where(dead, jnp.full((B_BLK, 1), sel,
                                                   jnp.int32), sel_parent)
 
@@ -221,15 +267,17 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
             new_h2 = _set_lane(new_h2, sel, sel_h2)
             new_last = _set_lane(new_last, sel, sel_last)
             new_plen = _set_lane(new_plen, sel, sel_plen)
+            if have_lm:
+                new_lm = _set_lane(new_lm, sel, sel_lm)
             parents = _set_lane(parents, sel, sel_parent)
             chars = _set_lane(chars, sel, sel_char)
 
             # Remove the chosen candidate from its source.
             stay_hit = take_stay & (lane_k == s_idx)
-            stay_tot = jnp.where(stay_hit, NEG_INF, stay_tot)
+            stay_rank = jnp.where(stay_hit, NEG_INF, stay_rank)
             for k in range(K):
                 hit = take_ext[k] & (lane_c == e_idx[k])
-                exts[k] = jnp.where(hit, NEG_INF, exts[k])
+                ranks[k] = jnp.where(hit, NEG_INF, ranks[k])
 
         # ---- freeze finished rows ----
         live = (t_abs < lens_ref[:]).astype(jnp.float32)  # (B_BLK, 1)
@@ -240,6 +288,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
         h2[:] = jnp.where(livb, new_h2, cur_h2)
         last[:] = jnp.where(livb, new_last, cur_last)
         plen[:] = jnp.where(livb, new_plen, cur_plen)
+        if have_lm:
+            lm_acc[:] = jnp.where(livb, new_lm, cur_lm)
         parent_ref[tt] = jnp.where(livb, parents, lane_k)
         char_ref[tt] = jnp.where(livb, chars,
                                  jnp.full(chars.shape, -1, jnp.int32))
@@ -248,26 +298,40 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lp_ref, lens_ref,
     jax.lax.fori_loop(0, t_blk_n, step, 0)
     pb_out[:] = p_b[:]
     pnb_out[:] = p_nb[:]
+    lm_out[:] = lm_acc[:]
+    last_out[:] = last[:]
 
 
 @functools.lru_cache(maxsize=16)
 def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
-           max_len: int, t_blk_n: int, interpret: bool):
+           max_len: int, t_blk_n: int, interpret: bool,
+           lm_w: float = 0.0, C1_pad: int = 0):
     n_b = Bp // B_BLK
     n_t = Tp // t_blk_n
+    have_lm = C1_pad > 0
+    in_specs = [
+        pl.BlockSpec((t_blk_n, B_BLK, C_pad), lambda b, t: (t, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_BLK, 1), lambda b, t: (b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if have_lm:
+        in_specs.append(
+            pl.BlockSpec((C1_pad, C_pad), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM))
     return pl.pallas_call(
-        functools.partial(_beam_kernel, K, C, blank, max_len, t_blk_n),
+        functools.partial(_beam_kernel, K, C, blank, max_len, t_blk_n,
+                          lm_w, have_lm),
         grid=(n_b, n_t),
-        in_specs=[
-            pl.BlockSpec((t_blk_n, B_BLK, C_pad), lambda b, t: (t, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, 1), lambda b, t: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((t_blk_n, B_BLK, LANES), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t_blk_n, B_BLK, LANES), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, LANES), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, LANES), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B_BLK, LANES), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -279,6 +343,8 @@ def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
             jax.ShapeDtypeStruct((Tp, Bp, LANES), jnp.int32),   # char
             jax.ShapeDtypeStruct((Bp, LANES), jnp.float32),     # p_b
             jax.ShapeDtypeStruct((Bp, LANES), jnp.float32),     # p_nb
+            jax.ShapeDtypeStruct((Bp, LANES), jnp.float32),     # lm
+            jax.ShapeDtypeStruct((Bp, LANES), jnp.int32),       # last
         ],
         scratch_shapes=[
             pltpu.VMEM((B_BLK, LANES), jnp.float32),
@@ -287,6 +353,7 @@ def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
             pltpu.VMEM((B_BLK, LANES), jnp.int32),
             pltpu.VMEM((B_BLK, LANES), jnp.int32),
             pltpu.VMEM((B_BLK, LANES), jnp.int32),
+            pltpu.VMEM((B_BLK, LANES), jnp.float32),            # lm_acc
         ],
         interpret=interpret,
     )
@@ -297,11 +364,14 @@ def _round_up(x, m):
 
 
 def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
-                           n_best: int = 1):
+                           n_best: int = 1, lm_bigram=None, lm_eos=None):
     """Drop-in for decode.ctc_beam_search, Pallas kernel implementation.
 
     cfg.class_topk is ignored (all classes considered — a superset search);
-    cfg.max_len only caps the reconstructed token buffer.
+    cfg.max_len only caps the reconstructed token buffer. Shallow fusion
+    (lm_bigram (C+1, C) + cfg.lm_weight, optional lm_eos (C+1,)) runs
+    inside the kernel: the per-beam bigram row is fetched as a one-hot
+    matmul against the VMEM-resident table (MXU — no dynamic indexing).
     """
     if cfg is None:
         cfg = BeamSearchConfig()
@@ -310,7 +380,15 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
         raise ValueError(f"beam_width {K} > {LANES}")
     B, T, C = log_probs.shape
     Bp = _round_up(B, B_BLK)
-    t_blk_n = T_BLK if T >= T_BLK else max(1, _round_up(T, 8) // 1)
+    # Live per-step state grows ~K^2 (the unrolled K x K join); shrink the
+    # time block as K grows so blocks + spills stay inside scoped VMEM
+    # (K=16 at the full 128-frame block overflows the 16 MB limit). LM
+    # fusion adds the table + per-beam row/rank arrays (~1 MB of spill at
+    # K=8): halve the block again.
+    t_cap = T_BLK if K <= 8 else max(8, (T_BLK * 8) // K)
+    if lm_bigram is not None:
+        t_cap = max(8, t_cap // 2)
+    t_blk_n = t_cap if T >= t_cap else max(1, _round_up(T, 8) // 1)
     Tp = _round_up(T, t_blk_n)
     C_pad = _round_up(C, LANES)
     lp = jnp.full((Tp, Bp, C_pad), NEG_INF, jnp.float32)
@@ -318,12 +396,29 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
         jnp.transpose(log_probs, (1, 0, 2)).astype(jnp.float32))
     lens = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(
         jnp.asarray(lengths, jnp.int32))
-    call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
-                  jax.default_backend() != "tpu")
-    parent, char, pb, pnb = call(lp, lens)
+    interpret = jax.default_backend() != "tpu"
+    lm_w = float(cfg.lm_weight)
+    if lm_bigram is not None:
+        C1_pad = _round_up(C + 1, LANES)
+        tab = jnp.zeros((C1_pad, C_pad), jnp.float32)
+        tab = tab.at[:C + 1, :C].set(jnp.asarray(lm_bigram, jnp.float32))
+        call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
+                      interpret, lm_w, C1_pad)
+        parent, char, pb, pnb, lm, last = call(lp, lens, tab)
+    else:
+        call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
+                      interpret)
+        parent, char, pb, pnb, lm, last = call(lp, lens)
 
-    total = _logaddexp(pb[:B, :K], pnb[:B, :K])
+    am = _logaddexp(pb[:B, :K], pnb[:B, :K])
+    lm_k = lm[:B, :K]
+    if lm_eos is not None:
+        lm_k = lm_k + jnp.asarray(lm_eos)[last[:B, :K] + 1]
+    total = am + lm_w * lm_k if (lm_bigram is not None or lm_eos is not None) \
+        else am
     score, beam_idx = jax.lax.top_k(total, n_best)      # (B, n_best)
+    am_sc = jnp.take_along_axis(am, beam_idx, axis=1)
+    lm_sc = jnp.take_along_axis(lm_k, beam_idx, axis=1)
 
     # ---- backpointer reconstruction: one reverse scan over T ----
     parent = parent[:T, :B, :]                          # (T, B, LANES)
@@ -348,4 +443,5 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
     n_idx = jnp.arange(n_best)[None, :, None]
     out = out.at[b_idx, n_idx, pos].set(jnp.where(keep, toks, -1))
     token_lens = jnp.minimum(jnp.sum(keep, axis=2), L).astype(jnp.int32)
-    return dict(tokens=out[:, :, :L], token_lens=token_lens, scores=score)
+    return dict(tokens=out[:, :, :L], token_lens=token_lens, scores=score,
+                am_scores=am_sc, lm_scores=lm_sc)

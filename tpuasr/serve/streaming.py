@@ -39,11 +39,16 @@ class StreamingRecognizer:
     """
 
     def __init__(self, variables, feat_cfg: FeatureConfig, blank: int = 0,
-                 decode: str = "greedy", beam_cfg=None):
+                 decode: str = "greedy", beam_cfg=None, lm_bigram=None,
+                 lm_eos=None):
         """decode: "greedy" (incremental emissions via feed()) or "beam"
         (resumable prefix beam search across chunks; read hypothesis() /
         flush() — beam hypotheses may revise earlier output, so per-chunk
-        emissions would be unstable by nature)."""
+        emissions would be unstable by nature).
+
+        lm_bigram/lm_eos: shallow-fusion tables (NGramLM.fusion_matrix /
+        eos_vector) applied inside the resumable beam search with
+        beam_cfg.lm_weight; beam mode only."""
         c = feat_cfg
         if c.cmn or c.cvn:
             raise ValueError("streaming requires cmn=False, cvn=False "
@@ -59,6 +64,10 @@ class StreamingRecognizer:
                 beam_width=8, class_topk=8, blank=blank)
         elif decode != "greedy":
             raise ValueError(f"unknown decode mode {decode!r}")
+        self.lm_bigram = (None if lm_bigram is None
+                          else jnp.asarray(lm_bigram, jnp.float32))
+        self.lm_eos = (None if lm_eos is None
+                       else jnp.asarray(lm_eos, jnp.float32))
         p = variables["params"]
         self.p = p
         bs = variables.get("batch_stats", {})
@@ -230,7 +239,8 @@ class StreamingRecognizer:
             Tc = logp.shape[0]
             out = ctc_beam_search(
                 logp[None], jnp.asarray([Tc], jnp.int32), self.beam_cfg,
-                init_state=self._beam_state, return_state=True)
+                init_state=self._beam_state, return_state=True,
+                lm_bigram=self.lm_bigram, lm_eos=self.lm_eos)
             self._beam_state = out["state"]
             n = int(out["token_lens"][0, 0])
             self.tokens = np.asarray(out["tokens"])[0, 0, :n].tolist()
