@@ -10,6 +10,8 @@ the on-device beam search.
 
 from tpuasr.native.ctc_host import (available, build, ctc_beam_search_host,
                                     ctc_greedy_host, edit_distance_host)
+from tpuasr.native.wav_batch import available as wav_batch_available
+from tpuasr.native.wav_batch import load_wav_batch
 
 __all__ = ["available", "build", "ctc_beam_search_host", "ctc_greedy_host",
-           "edit_distance_host"]
+           "edit_distance_host", "load_wav_batch", "wav_batch_available"]
