@@ -28,11 +28,16 @@ def make_synthetic_corpus(root, num_utts: int = 32, vocab_size: int = 8,
                           sample_rate: int = 8000, min_tokens: int = 2,
                           max_tokens: int = 6, tone_ms: float = 150.0,
                           noise: float = 0.05, seed: int = 0,
-                          split: str = "train") -> SyntheticCorpus:
+                          split: str = "train",
+                          markov: float = 0.0) -> SyntheticCorpus:
     """Write wavs + manifest under root; returns corpus description.
 
     Token id k (1..vocab_size-1) is a tone at 300 + 170*k Hz; id 0 is the CTC
     blank and never appears in transcripts.
+
+    markov: probability that each token is the successor (prev mod V-1 + 1)
+    of the previous one instead of uniform random — gives transcripts n-gram
+    structure so a language model carries real signal (LM-gain tests).
     """
     from scipy.io import wavfile
 
@@ -43,7 +48,15 @@ def make_synthetic_corpus(root, num_utts: int = 32, vocab_size: int = 8,
     utts = []
     for i in range(num_utts):
         n_tok = int(rng.integers(min_tokens, max_tokens + 1))
-        toks = rng.integers(1, vocab_size, size=n_tok).tolist()
+        if markov <= 0.0:
+            toks = rng.integers(1, vocab_size, size=n_tok).tolist()
+        else:
+            toks = [int(rng.integers(1, vocab_size))]
+            while len(toks) < n_tok:
+                if rng.random() < markov:
+                    toks.append(toks[-1] % (vocab_size - 1) + 1)
+                else:
+                    toks.append(int(rng.integers(1, vocab_size)))
         segments = [[int(k), j * tone_n, (j + 1) * tone_n]
                     for j, k in enumerate(toks)]
         segs = []
