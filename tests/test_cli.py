@@ -82,6 +82,11 @@ def test_cli_train_predict_test(tmp_path):
                   "--units", corpus.root / "units.txt", "--beam",
                   "--lm", arpa, "--lm-fusion", "--lm-weight", "0.5")
     assert str(wav) in out
+    out = run_cli("predict.py", "deepspeech_ctc", wav,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt", "--beam",
+                  "--lm", arpa, "--lm-fusion", "--lm-fusion-order", 3)
+    assert str(wav) in out
     out = run_cli("test.py", "deepspeech_ctc",
                   "--manifest", corpus.manifest,
                   "--checkpoint", log_dir / "ckpt",

@@ -147,6 +147,86 @@ def test_fusion_resumable_state_matches_full_pass():
                                np.asarray(second["scores"]), rtol=1e-5)
 
 
+def test_trigram_table_from_bigram_lm_equals_bigram_fusion():
+    """An order-2 LM backs off identically from trigram contexts, so the
+    (C+1,C+1,C) table must reproduce the bigram fusion results exactly."""
+    syms = ["<blk>", "a", "b", "c"]
+    lm = train_ngram([["c", "a"], ["a", "b", "c"], ["b", "a"]] * 3, order=2)
+    rng = np.random.default_rng(5)
+    logp = jnp.asarray(rng.standard_normal((2, 12, 4)).astype(np.float32))
+    logp = jnp.log(jnp.exp(logp) / jnp.sum(jnp.exp(logp), -1, keepdims=True))
+    lens = jnp.asarray([12, 9], jnp.int32)
+    cfg = BeamSearchConfig(beam_width=4, lm_weight=0.8)
+    a = ctc_beam_search(logp, lens, cfg, n_best=3,
+                        lm_bigram=lm.fusion_matrix(syms),
+                        lm_eos=lm.eos_vector(syms))
+    b = ctc_beam_search(logp, lens, cfg, n_best=3,
+                        lm_trigram=lm.fusion_tensor3(syms),
+                        lm_eos=lm.eos_matrix(syms))
+    np.testing.assert_array_equal(np.asarray(a["tokens"]),
+                                  np.asarray(b["tokens"]))
+    np.testing.assert_allclose(np.asarray(a["scores"]),
+                               np.asarray(b["scores"]), rtol=1e-5)
+
+
+def test_trigram_fusion_uses_two_back_context():
+    """'a b ?' -> c and 'd b ?' -> e is invisible to a bigram (both
+    contexts end in b) but decided by trigram fusion."""
+    syms = ["<blk>", "a", "b", "c", "d", "e"]
+    lm3 = train_ngram([["a", "b", "c"]] * 8 + [["d", "b", "e"]] * 8,
+                      order=3)
+    C, T = 6, 9
+
+    def acoustics(first_tok):
+        lp = np.full((1, T, C), -9.0, np.float32)
+        lp[0, 0:2, first_tok] = -0.1
+        lp[0, 2:3, 0] = -0.1
+        lp[0, 3:5, 2] = -0.1                    # "b"
+        lp[0, 5:6, 0] = -0.1
+        lp[0, 6:, 3] = -1.25                    # "c" slightly worse...
+        lp[0, 6:, 5] = -1.0                     # ...than "e" acoustically
+        return jnp.asarray(lp - np.log(np.sum(np.exp(lp), -1,
+                                              keepdims=True)))
+
+    lens = jnp.asarray([T], jnp.int32)
+    cfg = BeamSearchConfig(beam_width=6, lm_weight=2.0)
+    tri = lm3.fusion_tensor3(syms)
+    bi = lm3.fusion_matrix(syms)
+    # After "a b": trigram demands "c" (overriding acoustics).
+    out_a = ctc_beam_search(acoustics(1), lens, cfg, lm_trigram=tri)
+    assert np.asarray(out_a["tokens"])[0, 0, :3].tolist() == [1, 2, 3]
+    # After "d b": trigram demands "e".
+    out_d = ctc_beam_search(acoustics(4), lens, cfg, lm_trigram=tri)
+    assert np.asarray(out_d["tokens"])[0, 0, :3].tolist() == [4, 2, 5]
+    # Bigram context (just "b") cannot separate them: picks the same
+    # acoustically-favored token in both cases.
+    ba = np.asarray(ctc_beam_search(acoustics(1), lens, cfg,
+                                    lm_bigram=bi)["tokens"])[0, 0, 2]
+    bd = np.asarray(ctc_beam_search(acoustics(4), lens, cfg,
+                                    lm_bigram=bi)["tokens"])[0, 0, 2]
+    assert ba == bd
+
+
+def test_trigram_resumable_state_matches_full_pass():
+    syms = ["<blk>", "a", "b", "c"]
+    lm = train_ngram([["c", "a", "b"], ["a", "b", "c"]] * 4, order=3)
+    tri = lm.fusion_tensor3(syms)
+    rng = np.random.default_rng(7)
+    logp = jnp.asarray(rng.standard_normal((1, 10, 4)).astype(np.float32))
+    logp = jnp.log(jnp.exp(logp) / jnp.sum(jnp.exp(logp), -1, keepdims=True))
+    cfg = BeamSearchConfig(beam_width=4, lm_weight=1.0)
+    full = ctc_beam_search(logp, jnp.asarray([10], jnp.int32), cfg,
+                           lm_trigram=tri)
+    first = ctc_beam_search(logp[:, :5], jnp.asarray([5], jnp.int32), cfg,
+                            lm_trigram=tri, return_state=True)
+    second = ctc_beam_search(logp[:, 5:], jnp.asarray([5], jnp.int32), cfg,
+                             lm_trigram=tri, init_state=first["state"])
+    np.testing.assert_array_equal(np.asarray(full["tokens"]),
+                                  np.asarray(second["tokens"]))
+    np.testing.assert_allclose(np.asarray(full["scores"]),
+                               np.asarray(second["scores"]), rtol=1e-5)
+
+
 def test_rescore_nbest_reorders():
     syms = ["<blk>", "a", "b", "c"]
     lm = train_ngram([["c", "a"]] * 10, order=2)

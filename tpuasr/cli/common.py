@@ -45,9 +45,24 @@ def add_lm_flags(p: argparse.ArgumentParser):
                         "rescoring)")
     g.add_argument("--lm-fusion", action="store_true",
                    help="apply the LM during the beam search (on-device "
-                        "bigram shallow fusion; full-order context is used "
+                        "shallow fusion; full-order context is used "
                         "by the default n-best rescoring instead)")
+    g.add_argument("--lm-fusion-order", type=int, default=2,
+                   choices=[2, 3],
+                   help="fusion context order: 2 = bigram (works in the "
+                        "Pallas kernel), 3 = full trigram on device (XLA "
+                        "search path; table grows as C^3 — phone-scale "
+                        "inventories)")
     return p
+
+
+def fusion_tables(lm, syms: list[str], order: int) -> dict:
+    """Beam-search kwargs for on-device shallow fusion at `order`."""
+    if order == 3:
+        return dict(lm_trigram=lm.fusion_tensor3(syms),
+                    lm_eos=lm.eos_matrix(syms))
+    return dict(lm_bigram=lm.fusion_matrix(syms),
+                lm_eos=lm.eos_vector(syms))
 
 
 def load_lm(args):

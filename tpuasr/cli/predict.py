@@ -97,10 +97,12 @@ def main(argv=None) -> int:
         beam_kwargs = {}
         impl = args.beam_impl
         if lm is not None and args.lm_fusion:
-            # On-device bigram shallow fusion (both the XLA scan and the
-            # Pallas kernel carry the per-beam LM score).
-            beam_kwargs = dict(lm_bigram=lm.fusion_matrix(syms),
-                               lm_eos=lm.eos_vector(syms))
+            # On-device shallow fusion (bigram: both the XLA scan and the
+            # Pallas kernel; trigram: XLA scan only).
+            from tpuasr.cli.common import fusion_tables
+            beam_kwargs = fusion_tables(lm, syms, args.lm_fusion_order)
+            if args.lm_fusion_order == 3:
+                impl = "xla"
         rescore = lm is not None and not args.lm_fusion
         # Rescoring re-ranks the WHOLE beam, then keeps the top n_best.
         search_n = cfg.beam_width if rescore else n_best

@@ -88,8 +88,10 @@ def main(argv=None) -> int:
             beam_kwargs = {}
             impl = args.beam_impl
             if lm is not None and args.lm_fusion:
-                beam_kwargs = dict(lm_bigram=lm.fusion_matrix(syms),
-                                   lm_eos=lm.eos_vector(syms))
+                from tpuasr.cli.common import fusion_tables
+                beam_kwargs = fusion_tables(lm, syms, args.lm_fusion_order)
+                if args.lm_fusion_order == 3:
+                    impl = "xla"
             out = get_beam_search(impl)(
                 logp, out_lens, cfg,
                 n_best=cfg.beam_width if rescore else 1, **beam_kwargs)

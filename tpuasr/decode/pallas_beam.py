@@ -413,7 +413,12 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
     am = _logaddexp(pb[:B, :K], pnb[:B, :K])
     lm_k = lm[:B, :K]
     if lm_eos is not None:
-        lm_k = lm_k + jnp.asarray(lm_eos)[last[:B, :K] + 1]
+        lm_eos = jnp.asarray(lm_eos)
+        if lm_eos.ndim != 1:
+            raise ValueError("the Pallas kernel carries bigram context "
+                             "only; use the XLA ctc_beam_search for "
+                             "trigram fusion")
+        lm_k = lm_k + lm_eos[last[:B, :K] + 1]
     total = am + lm_w * lm_k if (lm_bigram is not None or lm_eos is not None) \
         else am
     score, beam_idx = jax.lax.top_k(total, n_best)      # (B, n_best)

@@ -90,6 +90,7 @@ def beam_init_state(B: int, cfg: BeamSearchConfig) -> dict:
         prefixes=jnp.full((B, K, L), -1, jnp.int32),
         plen=jnp.zeros((B, K), jnp.int32),
         last=jnp.full((B, K), -1, jnp.int32),
+        last2=jnp.full((B, K), -1, jnp.int32),   # token before `last`
         p_b=jnp.where(beam0, 0.0, NEG_INF) * jnp.ones((B, 1)),
         p_nb=jnp.full((B, K), NEG_INF),
         # Cumulative (unweighted) LM log-prob of each prefix; stays 0 when
@@ -116,7 +117,11 @@ def beam_results(state: dict, n_best: int = 1, lm_weight: float = 0.0,
     if lm is None:
         lm = jnp.zeros_like(am)
     if lm_eos is not None:
-        lm = lm + jnp.asarray(lm_eos)[state["last"] + 1]
+        lm_eos = jnp.asarray(lm_eos)
+        if lm_eos.ndim == 2:   # trigram context: P(</s> | last2, last)
+            lm = lm + lm_eos[state["last2"] + 1, state["last"] + 1]
+        else:
+            lm = lm + lm_eos[state["last"] + 1]
     total = am + lm_weight * lm
     score, idx = jax.lax.top_k(total, n_best)
     tokens = jnp.take_along_axis(state["prefixes"], idx[:, :, None], axis=1)
@@ -129,7 +134,7 @@ def beam_results(state: dict, n_best: int = 1, lm_weight: float = 0.0,
 def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
                     n_best: int = 1, init_state: dict = None,
                     return_state: bool = False, lm_bigram=None,
-                    lm_eos=None):
+                    lm_eos=None, lm_trigram=None):
     """CTC prefix beam search over a batch.
 
     Args:
@@ -145,8 +150,13 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         NGramLM.fusion_matrix). Beams are pruned and ranked by
         acoustic + cfg.lm_weight * LM(prefix); merges are unaffected
         because equal prefixes have equal LM scores.
-      lm_eos: optional (C+1,) ln P(</s> | last) added (weighted) at final
+      lm_eos: optional (C+1,) ln P(</s> | last) — or (C+1, C+1)
+        P(</s> | last2, last) with lm_trigram — added (weighted) at final
         ranking only.
+      lm_trigram: optional (C+1, C+1, C) full-trigram fusion table
+        T[prev2+1, prev+1, c] (see NGramLM.fusion_tensor3); mutually
+        exclusive with lm_bigram. Matches the typical order of the
+        reference's Kaldi grammar, entirely on device.
 
     Returns dict with:
       tokens: (B, n_best, max_len) int32, padded with -1
@@ -162,12 +172,18 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
     P = min(P, C - 1)  # blank handled separately
     blank = cfg.blank
     lm_w = cfg.lm_weight
+    if lm_bigram is not None and lm_trigram is not None:
+        raise ValueError("pass lm_bigram OR lm_trigram, not both")
     if lm_bigram is not None:
         lm_bigram = jnp.asarray(lm_bigram)
+    if lm_trigram is not None:
+        lm_trigram = jnp.asarray(lm_trigram)
 
     init = init_state if init_state is not None else beam_init_state(B, cfg)
     if "lm" not in init:   # states from older callers / other impls
         init = dict(init, lm=jnp.zeros((B, K)))
+    if "last2" not in init:
+        init = dict(init, last2=jnp.full((B, K), -1, jnp.int32))
 
     def step(state, inp):
         lp_t, t = inp                                   # lp_t: (B, C)
@@ -175,6 +191,7 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         last, plen = state["last"], state["plen"]
         h1, h2 = state["h1"], state["h2"]
         prefixes, lm = state["prefixes"], state["lm"]
+        last2 = state["last2"]
 
         lp_blank = lp_t[:, blank]                       # (B,)
         # Top-P non-blank classes this frame.
@@ -201,9 +218,12 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         cu = (c + 1).astype(jnp.uint32)
         ext_h1 = h1[:, :, None] * _H1_MUL + cu
         ext_h2 = h2[:, :, None] * _H2_MUL + cu
-        if lm_bigram is not None:
-            # ln P(c | last) per extension; context row 0 = empty prefix.
-            lm_rows = lm_bigram[last + 1]               # (B, K, C)
+        if lm_bigram is not None or lm_trigram is not None:
+            # ln P(c | context) per extension; index 0 = "no token there".
+            if lm_trigram is not None:
+                lm_rows = lm_trigram[last2 + 1, last + 1]   # (B, K, C)
+            else:
+                lm_rows = lm_bigram[last + 1]               # (B, K, C)
             lm_step = jnp.take_along_axis(
                 lm_rows, jnp.broadcast_to(top_c[:, None, :], (B, K, P)),
                 axis=2)                                 # (B, K, P)
@@ -256,6 +276,7 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
             prefixes, sel_parent[:, :, None], axis=1)   # (B, K, L)
         par_len = jnp.take_along_axis(plen, sel_parent, axis=1)
         par_last = jnp.take_along_axis(last, sel_parent, axis=1)
+        par_last2 = jnp.take_along_axis(last2, sel_parent, axis=1)
         extend = sel_char >= 0
         wpos = jnp.clip(par_len, 0, L - 1)
         onehot = (jnp.arange(L)[None, None, :] == wpos[:, :, None])
@@ -263,6 +284,7 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
                                  sel_char[:, :, None], par_prefix)
         new_plen = par_len + extend.astype(jnp.int32)
         new_last = jnp.where(extend, sel_char, par_last)
+        new_last2 = jnp.where(extend, par_last, par_last2)
 
         # ---- freeze state past each utterance's length ----
         live = (t < lengths)[:, None]
@@ -271,7 +293,8 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
                 live.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
         new_state = dict(
             prefixes=fz(new_prefixes, prefixes), plen=fz(new_plen, plen),
-            last=fz(new_last, last), p_b=fz(new_p_b, p_b),
+            last=fz(new_last, last), last2=fz(new_last2, last2),
+            p_b=fz(new_p_b, p_b),
             p_nb=fz(new_p_nb, p_nb), lm=fz(new_lm, lm),
             h1=fz(new_h1, h1), h2=fz(new_h2, h2),
         )

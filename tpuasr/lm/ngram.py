@@ -116,6 +116,33 @@ class NGramLM:
                 m[r, c] = self.cond_logp(sym, ctx)
         return m
 
+    def fusion_tensor3(self, class_syms: list[str],
+                       blank: int = 0) -> np.ndarray:
+        """(C+1, C+1, C) float32 trigram table T[prev2+1, prev+1, c] =
+        ln P(sym_c | sym_prev2, sym_prev); index 0 on either context axis
+        = "no token there yet" (sentence start). Feed as ``lm_trigram`` to
+        ``ctc_beam_search`` for full-trigram on-device fusion — sized for
+        phone-scale inventories (C=64 -> ~1 MB; grows as C^3)."""
+        C = len(class_syms)
+        t = np.zeros((C + 1, C + 1, C), np.float32)
+        ctx1 = [None] + class_syms                   # prev2 axis
+        ctx2 = [None] + class_syms                   # prev axis
+        for r2, s2 in enumerate(ctx1):
+            for r1, s1 in enumerate(ctx2):
+                if s1 is None:
+                    # Empty prefix: prev2 must be empty too; row is the
+                    # sentence-initial distribution.
+                    ctx = (BOS,)
+                elif s2 is None:
+                    ctx = (BOS, s1)
+                else:
+                    ctx = (s2, s1)
+                for c, sym in enumerate(class_syms):
+                    if c == blank:
+                        continue
+                    t[r2, r1, c] = self.cond_logp(sym, ctx)
+        return t
+
     def eos_vector(self, class_syms: list[str]) -> np.ndarray:
         """(C+1,) v[prev+1] = ln P(</s> | sym_prev) (row 0: after <s>) —
         optional final-score term for ``beam_results``."""
@@ -123,6 +150,23 @@ class NGramLM:
         out[0] = self.cond_logp(EOS, (BOS,))
         for i, s in enumerate(class_syms):
             out[i + 1] = self.cond_logp(EOS, (s,))
+        return out
+
+    def eos_matrix(self, class_syms: list[str]) -> np.ndarray:
+        """(C+1, C+1) m[prev2+1, prev+1] = ln P(</s> | prev2, prev) —
+        the trigram-context final-score term (pairs with fusion_tensor3)."""
+        C = len(class_syms)
+        out = np.zeros((C + 1, C + 1), np.float32)
+        ctx = [None] + class_syms
+        for r2, s2 in enumerate(ctx):
+            for r1, s1 in enumerate(ctx):
+                if s1 is None:
+                    c = (BOS,)
+                elif s2 is None:
+                    c = (BOS, s1)
+                else:
+                    c = (s2, s1)
+                out[r2, r1] = self.cond_logp(EOS, c)
         return out
 
     # ---- ARPA I/O ----
