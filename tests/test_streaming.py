@@ -89,6 +89,33 @@ def test_streaming_beam_matches_offline_beam(setup, chunk):
     assert sr.tokens == ref_tokens
 
 
+@pytest.mark.parametrize("chunk", [1777, 24000])
+def test_streaming_fused_lm_matches_offline(setup, chunk):
+    """Chunked beam decoding WITH on-device LM fusion == one-shot fused
+    beam on the full logp (the LM score and (last2,last) context ride the
+    resumable state)."""
+    from tpuasr.decode import BeamSearchConfig, ctc_beam_search
+    from tpuasr.lm import train_ngram
+    fc, model, variables, wav, feats, flens = setup
+    syms = ["<blk>"] + [f"t{i}" for i in range(1, 6)]
+    lm = train_ngram([["t1", "t2"], ["t3", "t1", "t4"]] * 4, order=2)
+    bigram = lm.fusion_matrix(syms, blank=0)
+    eos = lm.eos_vector(syms)
+    logp, out_lens = model.apply(variables, feats, flens, train=False)
+    cfg = BeamSearchConfig(beam_width=8, class_topk=5, lm_weight=0.7)
+    ref = ctc_beam_search(logp, out_lens, cfg, lm_bigram=bigram,
+                          lm_eos=eos)
+    n = int(ref["token_lens"][0, 0])
+    ref_tokens = np.asarray(ref["tokens"])[0, 0, :n].tolist()
+
+    sr = StreamingRecognizer(variables, fc, decode="beam", beam_cfg=cfg,
+                             lm_bigram=bigram, lm_eos=eos)
+    for s in range(0, len(wav), chunk):
+        sr.feed(wav[s:s + chunk])
+    sr.flush()
+    assert sr.tokens == ref_tokens
+
+
 def test_batched_streaming_matches_solo(setup):
     """3 concurrent slots, different audio, == per-slot solo recognizers."""
     from tpuasr.serve.streaming import BatchedStreamingRecognizer
