@@ -535,17 +535,19 @@ def _fwd_xf_kernel(H, T_BLK, x_ref, wx_ref, b_ref, wh_ref, mask_ref,
                  preferred_element_type=jnp.float32)
     xp = (xp + b_ref[:]).reshape(TB, B, 3 * H)
 
-    def body(tt, h):
+    # Static unroll: xp is a VALUE (not a ref), so a traced loop index
+    # would need dynamic_slice — unimplemented in Mosaic (interpret mode
+    # does not catch this; it compiled nowhere but CPU until unrolled).
+    h = h_scr[:]
+    for tt in range(T_BLK):
         hp = jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
                      preferred_element_type=jnp.float32)
         r, z, n = _gates(xp[tt], hp, H)
         h_new = (1.0 - z) * n + z * h
         m = mask_ref[tt]
-        h_new = m * h_new + (1.0 - m) * h
-        ys_ref[tt] = h_new.astype(ys_ref.dtype)
-        return h_new
-
-    h_scr[:] = jax.lax.fori_loop(0, T_BLK, body, h_scr[:])
+        h = m * h_new + (1.0 - m) * h
+        ys_ref[tt] = h.astype(ys_ref.dtype)
+    h_scr[:] = h
 
 
 @functools.lru_cache(maxsize=32)
