@@ -58,8 +58,13 @@ def test_cli_train_predict_test(tmp_path):
                   "--manifest", corpus.manifest,
                   "--checkpoint", log_dir / "ckpt",
                   "--units", corpus.root / "units.txt",
-                  "--batch-size", 4, "--max-label-len", 4)
+                  "--batch-size", 4, "--max-label-len", 4,
+                  "--dump-loglikes", tmp_path / "ll")
     assert "token-error-rate" in out
+    # Hybrid-workflow export: loglikes ark/scp round-trips via kaldi_io.
+    from tpuasr.utils.kaldi_io import read_scp
+    mats = dict(read_scp(tmp_path / "ll.scp"))
+    assert len(mats) == 12 and all(m.ndim == 2 for m in mats.values())
 
     # ---- LM toolkit: train G from the transcripts, decode with it ----
     arpa = tmp_path / "g.arpa"

@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beam-impl", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="beam search implementation (pallas = TPU kernel)")
+    p.add_argument("--dump-loglikes", metavar="PREFIX", default=None,
+                   help="also write per-utterance AM log-probs to "
+                        "PREFIX.ark/.scp (Kaldi binary FM — the reference's "
+                        "hybrid workflow fed these to external Kaldi "
+                        "decoders)")
     add_lm_flags(p)
     return p
 
@@ -75,9 +80,17 @@ def main(argv=None) -> int:
     utt_text = {u.id: u.text for u in loader.utts}
     refs, hyps = [], []
     wrefs, whyps = [], []
+    loglikes = []     # (utt_id, (T, C) log-probs) when --dump-loglikes
     for batch in loader:
         logp, out_lens = forward(jnp.asarray(batch["wav"]),
                                  jnp.asarray(batch["wav_lens"]))
+        if args.dump_loglikes:
+            lp_np = np.asarray(logp)
+            ol_np = np.asarray(out_lens)
+            for j in range(len(batch["real"])):
+                if batch["real"][j]:
+                    loglikes.append((batch["ids"][j],
+                                     lp_np[j, :ol_np[j]]))
         if args.beam:
             rescore = lm is not None and not args.lm_fusion
             cfg = BeamSearchConfig(beam_width=args.beam_width,
@@ -120,6 +133,10 @@ def main(argv=None) -> int:
             if word_dec is not None:
                 wrefs.append(utt_text.get(batch["ids"][j], "").split())
                 whyps.append([words.sym(w) for w in word_dec.decode(hyp)])
+    if args.dump_loglikes:
+        from tpuasr.utils.kaldi_io import write_ark_scp
+        ark, scp = write_ark_scp(args.dump_loglikes, loglikes)
+        print(f"# wrote {len(loglikes)} loglike matrices to {ark} ({scp})")
     ter = wer(refs, hyps)
     out = f"utterances: {len(refs)}  token-error-rate: {ter:.4f}"
     if word_dec is not None:
