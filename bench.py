@@ -41,10 +41,12 @@ def main() -> int:
     else:
         fz = Featurizer(feat_cfg)
     # pallas_gru: VMEM-resident recurrent weights (compiled path only —
-    # interpreter mode on CPU would be slower than the XLA scan).
+    # interpreter mode on CPU would be slower than the XLA scan);
+    # fused_proj: input projection inside the kernel (xp never in HBM) —
+    # measured AM 59.5 -> 44.7 ms at these shapes on v5e.
     model = create_model("deepspeech_ctc", num_classes=NUM_CLASSES,
                          rnn_hidden=512, rnn_layers=4, pallas_gru=on_tpu,
-                         bf16_gru=on_tpu)
+                         bf16_gru=on_tpu, fused_proj=on_tpu)
 
     rng = np.random.default_rng(0)
     wav = rng.standard_normal((B, S)).astype(np.float32) * 0.1

@@ -34,7 +34,8 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     fz = FusedFeaturizer(FeatureConfig())
     model = create_model("deepspeech_ctc", num_classes=64,
-                         pallas_gru=on_tpu, bf16_gru=on_tpu)
+                         pallas_gru=on_tpu, bf16_gru=on_tpu,
+                         fused_proj=on_tpu)
     feats0, flens0 = fz._jit(wav, lens)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), feats0, flens0, train=False)
