@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""On-chip Pallas kernel smoke: compile and parity-check EVERY kernel
+(forward and backward) on the real TPU at small-but-realistic shapes.
+
+Why this exists: interpret mode executes kernel semantics without Mosaic
+lowering, so a kernel can pass its whole CPU test suite and still fail to
+compile on hardware (it happened: gru_scan_xfused used dynamic_slice on a
+value — unimplemented in Mosaic — and shipped broken). Run this after any
+kernel change:
+
+    python benchmarks/chip_smoke.py        # on the TPU host
+
+Prints one PASS/FAIL line per kernel; exit code 0 iff all pass.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        print("SKIP: no TPU backend (this script checks Mosaic lowering)")
+        return 0
+
+    rng = np.random.default_rng(0)
+    failures = []
+
+    def check(name, fn, tol=None):
+        try:
+            dev = float(fn())
+        except Exception as e:  # noqa: BLE001 — report, keep smoking
+            failures.append(name)
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
+            return
+        limit = 1e-4 if tol is None else tol
+        if not np.isfinite(dev) or dev > limit:
+            failures.append(name)
+            print(f"FAIL {name}: deviation {dev:.3e} > {limit:.0e}")
+        else:
+            print(f"PASS {name}: max dev {dev:.3e}")
+
+    # ---- featurizer ----
+    from tpuasr.features import FeatureConfig, Featurizer
+    from tpuasr.features.pallas_fused import FusedFeaturizer
+    fc = FeatureConfig(sample_rate=8000, n_mels=64)
+    wav = jnp.asarray(rng.standard_normal((8, 16000)).astype(np.float32))
+    wl = jnp.full((8,), 16000, jnp.int32)
+
+    def feat_dev():
+        a, _ = Featurizer(fc)._jit(wav, wl)
+        b, _ = FusedFeaturizer(fc)._jit(wav, wl)
+        return jnp.max(jnp.abs(a - b))
+    check("fused_featurizer", feat_dev)
+
+    # ---- CTC loss (value + grad) ----
+    from tpuasr.losses import get_ctc_loss
+    B, T, C, U = 4, 32, 16, 6
+    logits = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    logp = jax.nn.log_softmax(logits, -1)
+    labels = jnp.asarray(rng.integers(1, C, size=(B, U)), jnp.int32)
+    ilen = jnp.full((B,), T, jnp.int32)
+    llen = jnp.full((B,), U, jnp.int32)
+    ref_ctc, pal_ctc = get_ctc_loss("fb"), get_ctc_loss("pallas")
+
+    def ctc_dev():
+        a = jnp.sum(ref_ctc(logp, labels, ilen, llen))
+        b = jnp.sum(pal_ctc(logp, labels, ilen, llen))
+        ga = jax.grad(lambda x: jnp.sum(
+            ref_ctc(jax.nn.log_softmax(x, -1), labels, ilen, llen)))(logits)
+        gb = jax.grad(lambda x: jnp.sum(
+            pal_ctc(jax.nn.log_softmax(x, -1), labels, ilen, llen)))(logits)
+        return jnp.maximum(jnp.abs(a - b), jnp.max(jnp.abs(ga - gb)))
+    check("ctc_pallas fwd+bwd", ctc_dev)
+
+    # ---- GRU kernels vs XLA scan (value + grad) ----
+    from tpuasr.models.layers import GRULayer
+    Bg, Tg, Dg, Hg = 16, 48, 128, 128
+    x = jnp.asarray(rng.standard_normal((Bg, Tg, Dg)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(Tg // 2, Tg + 1, size=(Bg,)), jnp.int32)
+
+    def gru_pair(use_pallas, fused_proj=False):
+        layer = GRULayer(Hg, use_pallas=use_pallas, fused_proj=fused_proj)
+        vs = layer.init(jax.random.PRNGKey(0), x, lens)
+
+        def loss(v, xx):
+            return jnp.sum(layer.apply(v, xx, lens) ** 2)
+        return vs, loss
+
+    vs_ref, loss_ref = gru_pair(False)
+
+    def gru_dev(fused_proj):
+        _, loss_pal = gru_pair(True, fused_proj)
+        a, ga = jax.value_and_grad(loss_ref, argnums=1)(vs_ref, x)
+        b, gb = jax.value_and_grad(loss_pal, argnums=1)(vs_ref, x)
+        return jnp.maximum(jnp.abs(a - b) / jnp.maximum(jnp.abs(a), 1.0),
+                           jnp.max(jnp.abs(ga - gb)))
+    check("gru_scan fwd+bwd", lambda: gru_dev(False), tol=3e-3)
+    check("gru_scan_xfused fwd+bwd", lambda: gru_dev(True), tol=3e-3)
+
+    from tpuasr.models.layers import BiGRU
+
+    def bidir_dev():
+        plain = BiGRU(Hg)
+        vs = plain.init(jax.random.PRNGKey(1), x, lens)
+        fused = BiGRU(Hg, fused_bidir=True)
+        # Map plain fwd/bwd GRULayer params onto the fused layout.
+        p = vs["params"]
+        vf = {"params": {
+            "fwd_wx": p["fwd"]["wx"], "fwd_wh": p["fwd"]["wh"],
+            "fwd_b": p["fwd"]["b"], "bwd_wx": p["bwd"]["wx"],
+            "bwd_wh": p["bwd"]["wh"], "bwd_b": p["bwd"]["b"]}}
+
+        def la(v, xx):
+            return jnp.sum(plain.apply(v, xx, lens) ** 2)
+
+        def lb(v, xx):
+            return jnp.sum(fused.apply(v, xx, lens) ** 2)
+        a, ga = jax.value_and_grad(la, argnums=1)(vs, x)
+        b, gb = jax.value_and_grad(lb, argnums=1)(vf, x)
+        return jnp.maximum(jnp.abs(a - b) / jnp.maximum(jnp.abs(a), 1.0),
+                           jnp.max(jnp.abs(ga - gb)))
+    check("gru_scan_bidir fwd+bwd", bidir_dev, tol=3e-3)
+
+    # ---- beam search kernel (plain + LM-fused) ----
+    from tpuasr.decode import BeamSearchConfig, ctc_beam_search
+    from tpuasr.decode.pallas_beam import ctc_beam_search_pallas
+    from tpuasr.lm import train_ngram
+    Cb, Tb = 16, 24
+    lp = jax.nn.log_softmax(jnp.asarray(
+        rng.standard_normal((4, Tb, Cb)).astype(np.float32)) * 1.5, -1)
+    blens = jnp.asarray([Tb, Tb - 3, Tb - 7, 5], jnp.int32)
+    syms = ["<blk>"] + [f"u{i}" for i in range(Cb - 1)]
+    lm = train_ngram([[syms[rng.integers(1, Cb)]
+                       for _ in range(rng.integers(2, 8))]
+                      for _ in range(60)], order=2)
+    bigram = lm.fusion_matrix(syms)
+    eos = lm.eos_vector(syms)
+
+    def beam_dev(with_lm):
+        cfg = BeamSearchConfig(beam_width=8, class_topk=Cb - 1, max_len=Tb,
+                               lm_weight=0.6 if with_lm else 0.0)
+        kw = dict(lm_bigram=bigram, lm_eos=eos) if with_lm else {}
+        a = ctc_beam_search(lp, blens, cfg, n_best=2, **kw)
+        b = ctc_beam_search_pallas(lp, blens, cfg, n_best=2, **kw)
+        if not np.array_equal(np.asarray(a["tokens"]),
+                              np.asarray(b["tokens"])):
+            return np.inf
+        sa, sb = np.asarray(a["scores"]), np.asarray(b["scores"])
+        return np.max(np.abs(sa - sb) / np.maximum(np.abs(sa), 1.0))
+    check("pallas_beam", lambda: beam_dev(False), tol=5e-4)
+    check("pallas_beam + LM fusion", lambda: beam_dev(True), tol=5e-4)
+
+    print(("ALL PASS" if not failures else
+           f"{len(failures)} FAILURES: {failures}"))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
