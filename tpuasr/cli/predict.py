@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="beam search implementation (pallas = TPU kernel)")
     p.add_argument("--nbest", type=int, default=1,
                    help="print the top-N beam hypotheses per wav")
+    p.add_argument("--dump-loglikes", metavar="PREFIX", default=None,
+                   help="also write per-wav AM log-probs to PREFIX.ark/.scp "
+                        "(Kaldi binary FM, keys = wav basenames — the "
+                        "reference's hybrid workflow fed these to external "
+                        "Kaldi decoders)")
     add_lm_flags(p)
     return p
 
@@ -82,6 +87,14 @@ def main(argv=None) -> int:
 
     logp, out_lens = forward(jnp.asarray(batch),
                              jnp.asarray(lens, dtype=jnp.int32))
+    if args.dump_loglikes:
+        import os
+        from tpuasr.utils.kaldi_io import write_ark_scp
+        lp_np, ol_np = np.asarray(logp), np.asarray(out_lens)
+        items = [(os.path.splitext(os.path.basename(p))[0],
+                  lp_np[i, :ol_np[i]]) for i, p in enumerate(args.wavs)]
+        ark, scp = write_ark_scp(args.dump_loglikes, items)
+        print(f"# wrote {len(items)} loglike matrices to {ark} ({scp})")
     lm = load_lm(args)
     if lm is not None and not args.beam:
         raise SystemExit("--lm requires --beam (the LM applies to beam "
