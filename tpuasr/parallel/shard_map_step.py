@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpuasr.parallel.mesh import DATA_AXIS
 
@@ -89,7 +89,7 @@ def make_shard_map_train_step(trainer):
             per_shard, mesh=mesh,
             in_specs=(P(), P(), P(), P(), specs),
             out_specs=(P(), P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )(state.params, state.batch_stats, state.opt_state, state.step,
           batch)
         new_state = state.replace(step=state.step + 1, params=new_params,
