@@ -56,7 +56,9 @@ int parse_one(const char* path, float* out, long long max_samples,
       sr = rd32(pos + 12);
       bits = rd16(pos + 22);
       // WAVE_FORMAT_EXTENSIBLE: real format is the first word of the GUID.
-      if (fmt == 0xFFFE && csz >= 40) fmt = rd16(pos + 8 + 24);
+      // Guard against truncated files whose fmt chunk CLAIMS >= 40 bytes.
+      if (fmt == 0xFFFE && csz >= 40 && pos + 34 <= sz)
+        fmt = rd16(pos + 8 + 24);
     } else if (!memcmp(&buf[pos], "data", 4)) {
       data = &buf[pos + 8];
       data_len = csz;
@@ -65,6 +67,9 @@ int parse_one(const char* path, float* out, long long max_samples,
     pos += 8 + csz + (csz & 1);  // chunks are word-aligned
   }
   if (!data || channels <= 0 || bits <= 0 || sr == 0) return 4;
+  // Sub-byte encodings (e.g. IMA ADPCM, fmt 0x11 with bits=4) would make
+  // bytes==0 below and SIGFPE on the frame division: reject as unsupported.
+  if (bits < 8 || bits % 8 != 0) return 5;
 
   int bytes = bits / 8;
   long long frames = data_len / ((long long)channels * bytes);

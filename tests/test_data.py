@@ -91,3 +91,22 @@ def test_loader_augmentation(tmp_path):
     b2 = noisy.make_batch(noisy.batch_plan(0)[0])
     diff = b2["wav"] - b0["wav"]
     assert 0.005 < diff[b2["wav"] != 0].std() < 0.02
+
+
+def test_loader_cache_bounded_and_streaming(tmp_path):
+    """cache_bytes bounds the decoded-wav LRU (no whole-corpus RAM blowup);
+    cache_bytes=0 streams per batch. Batches identical either way, across
+    two epochs (evict + re-decode path)."""
+    corpus = make_synthetic_corpus(tmp_path, num_utts=12, vocab_size=4)
+    cfgs = dict(batch_size=4, shuffle=False)
+    ref = AudioLoader(corpus.manifest, LoaderConfig(**cfgs))
+    bounded = AudioLoader(corpus.manifest,
+                          LoaderConfig(**cfgs, cache_bytes=8192))
+    stream = AudioLoader(corpus.manifest, LoaderConfig(**cfgs, cache_bytes=0))
+    for _ in range(2):
+        for br, bb, bs in zip(ref, bounded, stream):
+            for k in ("wav", "wav_lens", "tokens", "token_lens", "real"):
+                np.testing.assert_array_equal(br[k], bb[k], err_msg=k)
+                np.testing.assert_array_equal(br[k], bs[k], err_msg=k)
+        assert (bounded._cache_nbytes <= 8192 or len(bounded._cache) == 1)
+    assert not stream._cache and ref._cache  # default still caches

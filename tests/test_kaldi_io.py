@@ -28,3 +28,20 @@ def test_vector_roundtrip(tmp_path, rng):
     got = dict(kaldi_io.read_ark(ark))
     for k in vecs:
         np.testing.assert_array_equal(got[k], vecs[k])
+
+
+def test_write_ark_scp_dotted_prefix(tmp_path):
+    """Suffixes append to the prefix — a dot inside it must not be spliced
+    away (out.v1 -> out.v1.ark, not out.ark)."""
+    items = [("a", np.ones((2, 3), np.float32))]
+    ark, scp = kaldi_io.write_ark_scp(tmp_path / "out.v1", items)
+    assert ark.name == "out.v1.ark" and scp.name == "out.v1.scp"
+    assert dict(kaldi_io.read_ark(ark))["a"].shape == (2, 3)
+
+
+def test_write_ark_scp_duplicate_keys_raise(tmp_path):
+    import pytest
+
+    m = np.ones((1, 2), np.float32)
+    with pytest.raises(ValueError, match="duplicate ark key"):
+        kaldi_io.write_ark_scp(tmp_path / "dup", [("k", m), ("k", m)])

@@ -75,6 +75,39 @@ def test_truncation_and_errors(tmp_path):
         wav_batch.load_wav_batch([str(bad)], 10)
 
 
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    return tag + struct.pack("<I", len(payload)) + payload
+
+
+def test_sub_byte_encoding_rejected_not_sigfpe(tmp_path):
+    """IMA ADPCM-style fmt (0x11, bits=4) must raise the clean
+    unsupported-encoding error, not divide by zero (bytes = bits//8 == 0)."""
+    import struct
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 256, 4)
+    body = _chunk(b"fmt ", fmt) + _chunk(b"data", b"\x00" * 64)
+    path = tmp_path / "adpcm.wav"
+    path.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+                     + body)
+    with pytest.raises(RuntimeError, match="unsupported encoding"):
+        wav_batch.load_wav_batch([str(path)], 32)
+
+
+def test_truncated_extensible_fmt_no_oob(tmp_path):
+    """A WAVE_FORMAT_EXTENSIBLE fmt chunk that CLAIMS 40 bytes but is
+    truncated at the file end must not read past the buffer; with no data
+    chunk it lands on the missing-chunk error."""
+    import struct
+    # 12-byte RIFF header + 8-byte chunk header + 24 payload bytes = 44 (the
+    # minimum parseable size); the GUID word would sit at offset 44 == EOF.
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) + b"\x00" * 8
+    path = tmp_path / "trunc.wav"
+    path.write_bytes(b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                     + b"fmt " + struct.pack("<I", 40) + fmt)
+    with pytest.raises(RuntimeError, match="missing fmt/data chunk"):
+        wav_batch.load_wav_batch([str(path)], 32)
+
+
 def test_loader_batches_identical_with_native_io(tmp_path):
     corpus = make_synthetic_corpus(tmp_path, num_utts=10, vocab_size=4)
     la = AudioLoader(corpus.manifest,

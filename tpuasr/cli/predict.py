@@ -91,8 +91,15 @@ def main(argv=None) -> int:
         import os
         from tpuasr.utils.kaldi_io import write_ark_scp
         lp_np, ol_np = np.asarray(logp), np.asarray(out_lens)
-        items = [(os.path.splitext(os.path.basename(p))[0],
-                  lp_np[i, :ol_np[i]]) for i, p in enumerate(args.wavs)]
+        # Keys are wav basenames; uniquify collisions (a/x.wav + b/x.wav)
+        # so Kaldi-side scp consumers don't silently shadow one entry.
+        keys, counts = [], {}
+        for p in args.wavs:
+            k = os.path.splitext(os.path.basename(p))[0]
+            n = counts.get(k, 0)
+            counts[k] = n + 1
+            keys.append(k if n == 0 else f"{k}-{n + 1}")
+        items = [(k, lp_np[i, :ol_np[i]]) for i, k in enumerate(keys)]
         ark, scp = write_ark_scp(args.dump_loglikes, items)
         print(f"# wrote {len(items)} loglike matrices to {ark} ({scp})")
     lm = load_lm(args)

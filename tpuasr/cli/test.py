@@ -55,6 +55,8 @@ def main(argv=None) -> int:
     units = load_units(args.units)
     if not num_classes:
         num_classes = len(units)
+    if not num_classes:
+        raise SystemExit("checkpoint lacks num_classes; pass --units")
     feat_cfg = (FeatureConfig(**meta["feature"]) if meta.get("feature")
                 else feature_config(args))
     model = create_model(meta.get("model", args.model),

@@ -41,6 +41,11 @@ class LoaderConfig:
     # (native/wav_batch.cc) — one call per batch instead of per-file
     # python decode; automatic scipy fallback when the lib isn't built.
     native_io: bool = True
+    # Decoded-waveform LRU cache budget in bytes. The reference dataloader
+    # streamed per batch; an unbounded cache would hold the whole corpus
+    # uncompressed in host RAM (~7 GB / 100 h of 8 kHz float32). 0 disables
+    # caching (pure streaming; batch-local scratch only).
+    cache_bytes: int = 1 << 30
 
 
 class AudioLoader:
@@ -64,7 +69,11 @@ class AudioLoader:
         self.buckets = bucket_spec or make_buckets(
             lens, max_waste=self.cfg.max_waste,
             max_buckets=self.cfg.max_buckets)
-        self._cache: dict[str, np.ndarray] = {}
+        import collections
+        self._cache: collections.OrderedDict[str, np.ndarray] = (
+            collections.OrderedDict())
+        self._cache_nbytes = 0
+        self._scratch: dict[str, np.ndarray] = {}   # batch-local, no budget
         self.epoch = 0
         self._aug_rng = np.random.default_rng(self.cfg.seed + 104729)
 
@@ -99,13 +108,39 @@ class AudioLoader:
             rng.shuffle(plan)
         return plan
 
+    def _cache_get(self, uid: str) -> np.ndarray | None:
+        data = self._scratch.get(uid)
+        if data is not None:
+            return data
+        data = self._cache.get(uid)
+        if data is not None:
+            self._cache.move_to_end(uid)   # LRU touch
+        return data
+
+    def _cache_put(self, uid: str, data: np.ndarray) -> None:
+        if self.cfg.cache_bytes <= 0:
+            self._scratch[uid] = data      # cleared at next make_batch
+            return
+        prev = self._cache.pop(uid, None)
+        if prev is not None:
+            self._cache_nbytes -= prev.nbytes
+        self._cache[uid] = data
+        self._cache_nbytes += data.nbytes
+        # Evict LRU entries past the budget (always keep the newest one, so
+        # the current batch's wavs survive until consumed or re-decoded).
+        while (self._cache_nbytes > self.cfg.cache_bytes
+               and len(self._cache) > 1):
+            _, old = self._cache.popitem(last=False)
+            self._cache_nbytes -= old.nbytes
+
     def _wav(self, u: Utterance) -> np.ndarray:
-        if u.id not in self._cache:
+        data = self._cache_get(u.id)
+        if data is None:
             data, sr = load_wav(u.wav)
             if sr != u.sample_rate:
                 raise ValueError(f"{u.id}: sr {sr} != {u.sample_rate}")
-            self._cache[u.id] = data
-        return self._cache[u.id]
+            self._cache_put(u.id, data)
+        return data
 
     def _prefetch(self, utts: list[Utterance]) -> None:
         """Decode a batch's uncached wavs with the native multithreaded
@@ -114,7 +149,7 @@ class AudioLoader:
         bit-identical to load_wav (verified in tests/test_native_wav.py)."""
         if not self.cfg.native_io:
             return
-        todo = [u for u in utts if u.id not in self._cache]
+        todo = [u for u in utts if self._cache_get(u.id) is None]
         if len(todo) < 2:
             return
         try:
@@ -128,10 +163,11 @@ class AudioLoader:
         for j, u in enumerate(todo):
             if srs[j] != u.sample_rate:
                 raise ValueError(f"{u.id}: sr {srs[j]} != {u.sample_rate}")
-            self._cache[u.id] = out[j, :lens[j]].copy()
+            self._cache_put(u.id, out[j, :lens[j]].copy())
 
     def make_batch(self, idxs: list[int]) -> dict:
         cfg = self.cfg
+        self._scratch = {}
         utts = [self.utts[i] for i in idxs]
         self._prefetch(utts)
         bucket = max(self.buckets.bucket_of(u.num_samples) for u in utts)

@@ -67,12 +67,21 @@ def _write_matrix(f, mat: np.ndarray) -> None:
 
 
 def write_ark_scp(prefix: str | Path, items) -> tuple[Path, Path]:
-    """items: iterable of (key, ndarray[f32/f64]). Writes prefix.ark/.scp."""
+    """items: iterable of (key, ndarray[f32/f64]). Writes prefix.ark/.scp.
+
+    The suffixes are APPENDED (prefix "out.v1" -> "out.v1.ark"), not spliced
+    via with_suffix (which would mangle dotted prefixes to "out.ark").
+    Duplicate keys raise: Kaldi scp consumers silently shadow earlier entries.
+    """
     prefix = Path(prefix)
-    ark_path = prefix.with_suffix(".ark")
-    scp_path = prefix.with_suffix(".scp")
+    ark_path = prefix.parent / (prefix.name + ".ark")
+    scp_path = prefix.parent / (prefix.name + ".scp")
+    seen: set[str] = set()
     with open(ark_path, "wb") as ark, open(scp_path, "w") as scp:
         for key, mat in items:
+            if key in seen:
+                raise ValueError(f"duplicate ark key {key!r}")
+            seen.add(key)
             ark.write(key.encode() + b" ")
             offset = ark.tell()
             mat = np.asarray(mat)
