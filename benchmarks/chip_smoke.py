@@ -143,10 +143,20 @@ def main() -> int:
     bigram = lm.fusion_matrix(syms)
     eos = lm.eos_vector(syms)
 
-    def beam_dev(with_lm):
+    lm3 = train_ngram([[syms[rng.integers(1, Cb)]
+                        for _ in range(rng.integers(2, 8))]
+                       for _ in range(60)], order=3)
+    trigram = lm3.fusion_tensor3(syms)
+    eos3 = lm3.eos_matrix(syms)
+
+    def beam_dev(fusion):
         cfg = BeamSearchConfig(beam_width=8, class_topk=Cb - 1, max_len=Tb,
-                               lm_weight=0.6 if with_lm else 0.0)
-        kw = dict(lm_bigram=bigram, lm_eos=eos) if with_lm else {}
+                               lm_weight=0.6 if fusion else 0.0)
+        kw = {}
+        if fusion == 2:
+            kw = dict(lm_bigram=bigram, lm_eos=eos)
+        elif fusion == 3:
+            kw = dict(lm_trigram=trigram, lm_eos=eos3)
         a = ctc_beam_search(lp, blens, cfg, n_best=2, **kw)
         b = ctc_beam_search_pallas(lp, blens, cfg, n_best=2, **kw)
         if not np.array_equal(np.asarray(a["tokens"]),
@@ -154,8 +164,9 @@ def main() -> int:
             return np.inf
         sa, sb = np.asarray(a["scores"]), np.asarray(b["scores"])
         return np.max(np.abs(sa - sb) / np.maximum(np.abs(sa), 1.0))
-    check("pallas_beam", lambda: beam_dev(False), tol=5e-4)
-    check("pallas_beam + LM fusion", lambda: beam_dev(True), tol=5e-4)
+    check("pallas_beam", lambda: beam_dev(0), tol=5e-4)
+    check("pallas_beam + bigram fusion", lambda: beam_dev(2), tol=5e-4)
+    check("pallas_beam + trigram fusion", lambda: beam_dev(3), tol=5e-4)
 
     print(("ALL PASS" if not failures else
            f"{len(failures)} FAILURES: {failures}"))

@@ -84,6 +84,53 @@ def test_lm_fusion_matches_xla_beam(seed):
                                            rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_trigram_fusion_matches_xla_beam(seed):
+    """Full-trigram fusion (two-hot table fetch) == the XLA scan version,
+    including the 2-D P(</s> | last2, last) end-of-sentence term."""
+    from tpuasr.lm import train_ngram
+    rng = np.random.default_rng(seed)
+    B, T, C = 2, 7, 4
+    syms = ["<blk>", "a", "b", "c"]
+    lm = train_ngram([["c", "a"], ["a", "b", "c"], ["b", "a", "a"]] * 3,
+                     order=3)
+    trigram = lm.fusion_tensor3(syms, blank=0)
+    eos = lm.eos_matrix(syms)
+    logits = rng.standard_normal((B, T, C)).astype(np.float32) * 1.5
+    lp = jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    lens = jnp.array([T, T - 3])
+    cfg = BeamSearchConfig(beam_width=4, class_topk=C - 1, max_len=T,
+                           lm_weight=0.7)
+    a = ctc_beam_search(lp, lens, cfg, n_best=2, lm_trigram=trigram,
+                        lm_eos=eos)
+    b = ctc_beam_search_pallas(lp, lens, cfg, n_best=2, lm_trigram=trigram,
+                               lm_eos=eos)
+    for bi in range(B):
+        for ni in range(2):
+            na = int(a["token_lens"][bi, ni])
+            nb = int(b["token_lens"][bi, ni])
+            assert na == nb, (bi, ni)
+            np.testing.assert_array_equal(
+                np.asarray(a["tokens"])[bi, ni, :na],
+                np.asarray(b["tokens"])[bi, ni, :nb])
+            for key in ("scores", "am_scores", "lm_scores"):
+                np.testing.assert_allclose(float(a[key][bi, ni]),
+                                           float(b[key][bi, ni]),
+                                           rtol=1e-4, atol=1e-4)
+
+
+def test_trigram_table_vmem_gate():
+    """Vocabularies whose (C+1)^2 table cannot fit VMEM raise with a
+    pointer at the XLA implementation instead of failing in Mosaic."""
+    C = 192
+    lp = jnp.zeros((1, 4, C))
+    tri = np.zeros((C + 1, C + 1, C), np.float32)
+    with pytest.raises(ValueError, match="XLA ctc_beam_search"):
+        ctc_beam_search_pallas(lp, jnp.array([4]),
+                               BeamSearchConfig(beam_width=4),
+                               lm_trigram=tri)
+
+
 def test_respects_lengths(rng):
     T, C = 8, 4
     logits = rng.standard_normal((1, T, C)).astype(np.float32)

@@ -65,6 +65,25 @@ def fusion_tables(lm, syms: list[str], order: int) -> dict:
                 lm_eos=lm.eos_vector(syms))
 
 
+def run_beam_search(impl: str, logp, lens, cfg, n_best: int, **kwargs):
+    """Dispatch beam search at the requested impl. All fusion orders run in
+    every impl; the only fallback is the Pallas kernel's explicit VMEM gate
+    (trigram table too large for the vocabulary), and it is LOUD."""
+    import sys
+
+    from tpuasr.decode import get_beam_search
+    try:
+        return get_beam_search(impl)(logp, lens, cfg, n_best=n_best,
+                                     **kwargs)
+    except ValueError as e:
+        if "XLA ctc_beam_search" not in str(e):
+            raise
+        print(f"# pallas beam kernel rejected the problem ({e}); "
+              "falling back to the XLA implementation", file=sys.stderr)
+        return get_beam_search("xla")(logp, lens, cfg, n_best=n_best,
+                                      **kwargs)
+
+
 def load_lm(args):
     """NGramLM from --lm, or None."""
     if not getattr(args, "lm", None):

@@ -14,7 +14,7 @@ import numpy as np
 from tpuasr.cli.common import (add_common_flags, add_lm_flags,
                                feature_config, lm_symbols, load_lm,
                                load_units, make_word_decoder, tokens_to_text)
-from tpuasr.decode import (BeamSearchConfig, get_beam_search,
+from tpuasr.decode import (BeamSearchConfig,
                            greedy_decode)
 from tpuasr.features import FeatureConfig, Featurizer
 from tpuasr.models import create_model
@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="beam search implementation (pallas = TPU kernel)")
     p.add_argument("--nbest", type=int, default=1,
                    help="print the top-N beam hypotheses per wav")
+    p.add_argument("--align", action="store_true",
+                   help="also print per-token time spans from CTC forced "
+                        "alignment of the best hypothesis (the reference "
+                        "latgen path returned (words, alignments); "
+                        "SURVEY.md section 3.4)")
     p.add_argument("--dump-loglikes", metavar="PREFIX", default=None,
                    help="also write per-wav AM log-probs to PREFIX.ark/.scp "
                         "(Kaldi binary FM, keys = wav basenames — the "
@@ -83,10 +88,10 @@ def main(argv=None) -> int:
     def forward(wav, wav_lens):
         feats, flens = fz._featurize(wav, wav_lens)
         logp, out_lens = model.apply(variables, feats, flens, train=False)
-        return logp, out_lens
+        return logp, out_lens, flens
 
-    logp, out_lens = forward(jnp.asarray(batch),
-                             jnp.asarray(lens, dtype=jnp.int32))
+    logp, out_lens, feat_lens = forward(jnp.asarray(batch),
+                                        jnp.asarray(lens, dtype=jnp.int32))
     if args.dump_loglikes:
         import os
         from tpuasr.utils.kaldi_io import write_ark_scp
@@ -117,17 +122,16 @@ def main(argv=None) -> int:
         beam_kwargs = {}
         impl = args.beam_impl
         if lm is not None and args.lm_fusion:
-            # On-device shallow fusion (bigram: both the XLA scan and the
-            # Pallas kernel; trigram: XLA scan only).
+            # On-device shallow fusion (bigram AND trigram in both the XLA
+            # scan and the Pallas kernel).
             from tpuasr.cli.common import fusion_tables
             beam_kwargs = fusion_tables(lm, syms, args.lm_fusion_order)
-            if args.lm_fusion_order == 3:
-                impl = "xla"
         rescore = lm is not None and not args.lm_fusion
         # Rescoring re-ranks the WHOLE beam, then keeps the top n_best.
         search_n = cfg.beam_width if rescore else n_best
-        out = get_beam_search(impl)(logp, out_lens, cfg, n_best=search_n,
-                                    **beam_kwargs)
+        from tpuasr.cli.common import run_beam_search
+        out = run_beam_search(impl, logp, out_lens, cfg, n_best=search_n,
+                              **beam_kwargs)
         toks = np.asarray(out["tokens"])
         tok_lens = np.asarray(out["token_lens"])
         scores = np.asarray(out["scores"])
@@ -148,6 +152,26 @@ def main(argv=None) -> int:
         tok_lens = np.asarray(l)[:, None]
         scores = None
 
+    spans = None
+    if args.align:
+        # Forced-align the BEST hypothesis back onto the AM posteriors:
+        # per-token model-frame spans -> seconds via the featurizer hop and
+        # the model's time stride (feat frames / output frames).
+        from tpuasr.losses import ctc_align
+        B = len(args.wavs)
+        U = max(1, int(tok_lens[:, 0].max()))
+        lab = np.zeros((B, U), np.int32)
+        lab_lens = np.zeros((B,), np.int32)
+        for i in range(B):
+            n = int(tok_lens[i, 0])
+            lab_lens[i] = n
+            lab[i, :n] = toks[i, 0][:n]
+        al = jax.jit(ctc_align)(logp, jnp.asarray(lab), out_lens,
+                                jnp.asarray(lab_lens))
+        spans = (np.asarray(al["token_starts"]),
+                 np.asarray(al["token_ends"]))
+        fl_np, ol_np = np.asarray(feat_lens), np.asarray(out_lens)
+
     word_dec, words = make_word_decoder(args)
     for i, path in enumerate(args.wavs):
         for n in range(n_best):
@@ -160,6 +184,18 @@ def main(argv=None) -> int:
                 print(f"{path}\t[{n}] {scores[i, n]:.2f}\t{text}")
             else:
                 print(f"{path}\t{text}")
+        if spans is not None:
+            stride = max(1, round(float(fl_np[i]) / max(int(ol_np[i]), 1)))
+            spf = stride * feat_cfg.hop_length / feat_cfg.sample_rate
+            st, en = spans
+            parts = []
+            for u in range(int(tok_lens[i, 0])):
+                sym = (units[toks[i, 0, u]]
+                       if units and toks[i, 0, u] < len(units)
+                       else str(toks[i, 0, u]))
+                parts.append(f"{sym}[{st[i, u] * spf:.2f}"
+                             f"-{en[i, u] * spf:.2f}]")
+            print(f"# align: {' '.join(parts)}")
     return 0
 
 

@@ -14,7 +14,7 @@ from tpuasr.cli.common import (add_common_flags, add_lm_flags,
                                feature_config, lm_symbols, load_lm,
                                load_units, make_word_decoder)
 from tpuasr.data import AudioLoader, LoaderConfig
-from tpuasr.decode import (BeamSearchConfig, get_beam_search,
+from tpuasr.decode import (BeamSearchConfig,
                            greedy_decode)
 from tpuasr.features import FeatureConfig, Featurizer
 from tpuasr.models import create_model
@@ -105,10 +105,9 @@ def main(argv=None) -> int:
             if lm is not None and args.lm_fusion:
                 from tpuasr.cli.common import fusion_tables
                 beam_kwargs = fusion_tables(lm, syms, args.lm_fusion_order)
-                if args.lm_fusion_order == 3:
-                    impl = "xla"
-            out = get_beam_search(impl)(
-                logp, out_lens, cfg,
+            from tpuasr.cli.common import run_beam_search
+            out = run_beam_search(
+                impl, logp, out_lens, cfg,
                 n_best=cfg.beam_width if rescore else 1, **beam_kwargs)
             toks_nb = np.asarray(out["tokens"])
             lens_nb = np.asarray(out["token_lens"])

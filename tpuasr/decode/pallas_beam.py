@@ -78,13 +78,16 @@ def _set_lane(arr, lane: int, val):
     return jnp.where(_lane_iota(arr.shape) == lane, val, arr)
 
 
-def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
+def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
+    have_lm = lm_order > 0
     if have_lm:
         (lp_ref, lens_ref, lm_ref, parent_ref, char_ref, pb_out, pnb_out,
-         lm_out, last_out, p_b, p_nb, h1, h2, last, plen, lm_acc) = refs
+         lm_out, last_out, last2_out, p_b, p_nb, h1, h2, last, plen,
+         lm_acc, last2) = refs
     else:
         (lp_ref, lens_ref, parent_ref, char_ref, pb_out, pnb_out,
-         lm_out, last_out, p_b, p_nb, h1, h2, last, plen, lm_acc) = refs
+         lm_out, last_out, last2_out, p_b, p_nb, h1, h2, last, plen,
+         lm_acc, last2) = refs
         lm_ref = None
     t_blk = pl.program_id(1)
 
@@ -96,10 +99,16 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
         h1[:] = _I1 + lane
         h2[:] = _I2 + lane
         last[:] = jnp.full(last.shape, -1, jnp.int32)
+        last2[:] = jnp.full(last2.shape, -1, jnp.int32)
         plen[:] = jnp.zeros(plen.shape, jnp.int32)
         lm_acc[:] = jnp.zeros(lm_acc.shape, jnp.float32)
 
-    lm_tab = lm_ref[:] if have_lm else None      # (C1_pad, C_pad)
+    # Fusion table, VMEM-resident for the whole block:
+    #   order 2: (C1_pad, C_pad) rows = last+1;
+    #   order 3: (R_pad, C_pad) with R = (C+1)^2, row = (last2+1)(C+1) +
+    #            (last+1) — the flattened trigram tensor, fetched by a
+    #            "two-hot" one-hot matmul on the MXU (no dynamic indexing).
+    lm_tab = lm_ref[:] if have_lm else None
 
     def step(tt, _):
         t_abs = t_blk * t_blk_n + tt
@@ -111,6 +120,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
         cur_pb, cur_pnb = p_b[:], p_nb[:]
         cur_h1, cur_h2, cur_last = h1[:], h2[:], last[:]
         cur_plen = plen[:]
+        cur_last2 = last2[:]
         cur_lm = lm_acc[:] if have_lm else None
         p_tot = _logaddexp(cur_pb, cur_pnb)              # (B, K_LANES)
 
@@ -131,6 +141,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
         g_pb = [_gather_lane(cur_pb, kconst[k]) for k in range(K)]
         g_pt = [_gather_lane(p_tot, kconst[k]) for k in range(K)]
         g_last = [_gather_lane(cur_last, kconst[k]) for k in range(K)]
+        g_last2 = [_gather_lane(cur_last2, kconst[k]) for k in range(K)]
         g_h1 = [_gather_lane(cur_h1, kconst[k]) for k in range(K)]
         g_h2 = [_gather_lane(cur_h2, kconst[k]) for k in range(K)]
         g_plen = [_gather_lane(cur_plen, kconst[k]) for k in range(K)]
@@ -166,10 +177,15 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
             g_lm = [_gather_lane(cur_lm, kconst[k]) for k in range(K)]
             ext_lms, ranks = [], []
             for k in range(K):
-                # lm_tab row (g_last[k] + 1) per batch row, as a one-hot
-                # matmul (MXU) — no dynamic VMEM indexing.
+                # lm_tab row for beam k's LM context, as a one-hot matmul
+                # (MXU) — no dynamic VMEM indexing. Order 3 flattens the
+                # (last2, last) pair into a single row index.
+                if lm_order == 3:
+                    ridx = (g_last2[k] + 1) * (C + 1) + (g_last[k] + 1)
+                else:
+                    ridx = g_last[k] + 1
                 oh = (_lane_iota((B_BLK, lm_tab.shape[0]))
-                      == (g_last[k] + 1)).astype(jnp.float32)
+                      == ridx).astype(jnp.float32)
                 row = jax.lax.dot_general(
                     oh, lm_tab, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)   # (B, C_pad)
@@ -189,6 +205,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
         new_h1 = _I1 + lane_k + np.int32(7777) * (t_abs + 1)
         new_h2 = _I2 + lane_k + np.int32(3333) * (t_abs + 1)
         new_last = jnp.full((B_BLK, LANES), -1, jnp.int32)
+        new_last2 = jnp.full((B_BLK, LANES), -1, jnp.int32)
         new_plen = jnp.zeros((B_BLK, LANES), jnp.int32)
         new_lm = (jnp.zeros((B_BLK, LANES), jnp.float32) if have_lm
                   else None)
@@ -219,6 +236,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
             sel_h2 = jnp.where(take_stay, _gather_lane(cur_h2, s_idx), 0)
             sel_last = jnp.where(take_stay,
                                  _gather_lane(cur_last, s_idx), -1)
+            sel_last2 = jnp.where(take_stay,
+                                  _gather_lane(cur_last2, s_idx), -1)
             sel_plen = jnp.where(take_stay,
                                  _gather_lane(cur_plen, s_idx), 0)
             sel_lm = (jnp.where(take_stay, _gather_lane(cur_lm, s_idx), 0.0)
@@ -239,6 +258,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
                 sel_pb = jnp.where(tk, NEG_INF, sel_pb)
                 sel_h1 = jnp.where(tk, g_h1[k] * _M1 + c_idx + 1, sel_h1)
                 sel_h2 = jnp.where(tk, g_h2[k] * _M2 + c_idx + 1, sel_h2)
+                sel_last2 = jnp.where(tk, g_last[k], sel_last2)
                 sel_last = jnp.where(tk, c_idx, sel_last)
                 sel_plen = jnp.where(tk, g_plen[k] + 1, sel_plen)
                 sel_parent = jnp.where(tk, kconst[k], sel_parent)
@@ -253,6 +273,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
             sel_h1 = jnp.where(dead, fresh1, sel_h1)
             sel_h2 = jnp.where(dead, fresh2, sel_h2)
             sel_last = jnp.where(dead, -1, sel_last)
+            sel_last2 = jnp.where(dead, -1, sel_last2)
             sel_char = jnp.where(dead, -1, sel_char)
             sel_plen = jnp.where(dead, 0, sel_plen)
             if have_lm:
@@ -266,6 +287,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
             new_h1 = _set_lane(new_h1, sel, sel_h1)
             new_h2 = _set_lane(new_h2, sel, sel_h2)
             new_last = _set_lane(new_last, sel, sel_last)
+            new_last2 = _set_lane(new_last2, sel, sel_last2)
             new_plen = _set_lane(new_plen, sel, sel_plen)
             if have_lm:
                 new_lm = _set_lane(new_lm, sel, sel_lm)
@@ -287,6 +309,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
         h1[:] = jnp.where(livb, new_h1, cur_h1)
         h2[:] = jnp.where(livb, new_h2, cur_h2)
         last[:] = jnp.where(livb, new_last, cur_last)
+        last2[:] = jnp.where(livb, new_last2, cur_last2)
         plen[:] = jnp.where(livb, new_plen, cur_plen)
         if have_lm:
             lm_acc[:] = jnp.where(livb, new_lm, cur_lm)
@@ -300,28 +323,28 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, have_lm, *refs):
     pnb_out[:] = p_nb[:]
     lm_out[:] = lm_acc[:]
     last_out[:] = last[:]
+    last2_out[:] = last2[:]
 
 
 @functools.lru_cache(maxsize=16)
 def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
            max_len: int, t_blk_n: int, interpret: bool,
-           lm_w: float = 0.0, C1_pad: int = 0):
+           lm_w: float = 0.0, lm_order: int = 0, tab_rows: int = 0):
     n_b = Bp // B_BLK
     n_t = Tp // t_blk_n
-    have_lm = C1_pad > 0
     in_specs = [
         pl.BlockSpec((t_blk_n, B_BLK, C_pad), lambda b, t: (t, b, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((B_BLK, 1), lambda b, t: (b, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if have_lm:
+    if lm_order:
         in_specs.append(
-            pl.BlockSpec((C1_pad, C_pad), lambda b, t: (0, 0),
+            pl.BlockSpec((tab_rows, C_pad), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM))
     return pl.pallas_call(
         functools.partial(_beam_kernel, K, C, blank, max_len, t_blk_n,
-                          lm_w, have_lm),
+                          lm_w, lm_order),
         grid=(n_b, n_t),
         in_specs=in_specs,
         out_specs=[
@@ -329,14 +352,10 @@ def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t_blk_n, B_BLK, LANES), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
+        ] + [
             pl.BlockSpec((B_BLK, LANES), lambda b, t: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, LANES), lambda b, t: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, LANES), lambda b, t: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, LANES), lambda b, t: (b, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM)
+            for _ in range(5)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, Bp, LANES), jnp.int32),   # parent
@@ -345,6 +364,7 @@ def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
             jax.ShapeDtypeStruct((Bp, LANES), jnp.float32),     # p_nb
             jax.ShapeDtypeStruct((Bp, LANES), jnp.float32),     # lm
             jax.ShapeDtypeStruct((Bp, LANES), jnp.int32),       # last
+            jax.ShapeDtypeStruct((Bp, LANES), jnp.int32),       # last2
         ],
         scratch_shapes=[
             pltpu.VMEM((B_BLK, LANES), jnp.float32),
@@ -354,6 +374,7 @@ def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
             pltpu.VMEM((B_BLK, LANES), jnp.int32),
             pltpu.VMEM((B_BLK, LANES), jnp.int32),
             pltpu.VMEM((B_BLK, LANES), jnp.float32),            # lm_acc
+            pltpu.VMEM((B_BLK, LANES), jnp.int32),              # last2
         ],
         interpret=interpret,
     )
@@ -364,29 +385,42 @@ def _round_up(x, m):
 
 
 def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
-                           n_best: int = 1, lm_bigram=None, lm_eos=None):
+                           n_best: int = 1, lm_bigram=None, lm_eos=None,
+                           lm_trigram=None):
     """Drop-in for decode.ctc_beam_search, Pallas kernel implementation.
 
     cfg.class_topk is ignored (all classes considered — a superset search);
     cfg.max_len only caps the reconstructed token buffer. Shallow fusion
-    (lm_bigram (C+1, C) + cfg.lm_weight, optional lm_eos (C+1,)) runs
-    inside the kernel: the per-beam bigram row is fetched as a one-hot
-    matmul against the VMEM-resident table (MXU — no dynamic indexing).
+    runs inside the kernel, weighted by cfg.lm_weight:
+      * lm_bigram (C+1, C): the per-beam row is fetched as a one-hot matmul
+        against the VMEM-resident table (MXU — no dynamic indexing);
+      * lm_trigram (C+1, C+1, C): same trick one rank up — the tensor is
+        flattened to ((C+1)^2, C) and the (last2, last) context pair becomes
+        a single "two-hot" row index. The table must fit scoped VMEM
+        (~(C+1)^2 * 512 bytes); too-large vocabularies raise with a pointer
+        to the XLA implementation.
+      * lm_eos: (C+1,) ln P(</s>|last), or (C+1, C+1) P(</s>|last2, last)
+        with lm_trigram — applied at final ranking.
     """
     if cfg is None:
         cfg = BeamSearchConfig()
     K = cfg.beam_width
     if K > LANES:
         raise ValueError(f"beam_width {K} > {LANES}")
+    if lm_bigram is not None and lm_trigram is not None:
+        raise ValueError("pass lm_bigram OR lm_trigram, not both")
     B, T, C = log_probs.shape
     Bp = _round_up(B, B_BLK)
+    have_lm = lm_bigram is not None or lm_trigram is not None
     # Live per-step state grows ~K^2 (the unrolled K x K join); shrink the
     # time block as K grows so blocks + spills stay inside scoped VMEM
     # (K=16 at the full 128-frame block overflows the 16 MB limit). LM
     # fusion adds the table + per-beam row/rank arrays (~1 MB of spill at
-    # K=8): halve the block again.
+    # K=8): halve the block again — twice for the trigram table + one-hots.
     t_cap = T_BLK if K <= 8 else max(8, (T_BLK * 8) // K)
-    if lm_bigram is not None:
+    if have_lm:
+        t_cap = max(8, t_cap // 2)
+    if lm_trigram is not None:
         t_cap = max(8, t_cap // 2)
     t_blk_n = t_cap if T >= t_cap else max(1, _round_up(T, 8) // 1)
     Tp = _round_up(T, t_blk_n)
@@ -398,29 +432,43 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
         jnp.asarray(lengths, jnp.int32))
     interpret = jax.default_backend() != "tpu"
     lm_w = float(cfg.lm_weight)
-    if lm_bigram is not None:
+    if lm_trigram is not None:
+        lm_trigram = jnp.asarray(lm_trigram, jnp.float32)
+        if lm_trigram.shape != (C + 1, C + 1, C):
+            raise ValueError(f"lm_trigram shape {lm_trigram.shape} != "
+                             f"{(C + 1, C + 1, C)}")
+        R = (C + 1) * (C + 1)
+        R_pad = _round_up(R, 8)
+        if R_pad * C_pad * 4 > 6 * 2**20:
+            raise ValueError(
+                f"trigram fusion table ((C+1)^2={R} rows) exceeds the "
+                "kernel's VMEM budget; use the XLA ctc_beam_search")
+        tab = jnp.zeros((R_pad, C_pad), jnp.float32)
+        tab = tab.at[:R, :C].set(lm_trigram.reshape(R, C))
+        call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
+                      interpret, lm_w, 3, R_pad)
+        parent, char, pb, pnb, lm, last, last2 = call(lp, lens, tab)
+    elif lm_bigram is not None:
         C1_pad = _round_up(C + 1, LANES)
         tab = jnp.zeros((C1_pad, C_pad), jnp.float32)
         tab = tab.at[:C + 1, :C].set(jnp.asarray(lm_bigram, jnp.float32))
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
-                      interpret, lm_w, C1_pad)
-        parent, char, pb, pnb, lm, last = call(lp, lens, tab)
+                      interpret, lm_w, 2, C1_pad)
+        parent, char, pb, pnb, lm, last, last2 = call(lp, lens, tab)
     else:
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
                       interpret)
-        parent, char, pb, pnb, lm, last = call(lp, lens)
+        parent, char, pb, pnb, lm, last, last2 = call(lp, lens)
 
     am = _logaddexp(pb[:B, :K], pnb[:B, :K])
     lm_k = lm[:B, :K]
     if lm_eos is not None:
         lm_eos = jnp.asarray(lm_eos)
-        if lm_eos.ndim != 1:
-            raise ValueError("the Pallas kernel carries bigram context "
-                             "only; use the XLA ctc_beam_search for "
-                             "trigram fusion")
-        lm_k = lm_k + lm_eos[last[:B, :K] + 1]
-    total = am + lm_w * lm_k if (lm_bigram is not None or lm_eos is not None) \
-        else am
+        if lm_eos.ndim == 2:   # trigram context: P(</s> | last2, last)
+            lm_k = lm_k + lm_eos[last2[:B, :K] + 1, last[:B, :K] + 1]
+        else:
+            lm_k = lm_k + lm_eos[last[:B, :K] + 1]
+    total = am + lm_w * lm_k if (have_lm or lm_eos is not None) else am
     score, beam_idx = jax.lax.top_k(total, n_best)      # (B, n_best)
     am_sc = jnp.take_along_axis(am, beam_idx, axis=1)
     lm_sc = jnp.take_along_axis(lm_k, beam_idx, axis=1)
