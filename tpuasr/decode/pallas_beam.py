@@ -78,7 +78,8 @@ def _set_lane(arr, lane: int, val):
     return jnp.where(_lane_iota(arr.shape) == lane, val, arr)
 
 
-def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
+def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
+                 track_last2, *refs):
     have_lm = lm_order > 0
     if have_lm:
         (lp_ref, lens_ref, lm_ref, parent_ref, char_ref, pb_out, pnb_out,
@@ -120,7 +121,11 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
         cur_pb, cur_pnb = p_b[:], p_nb[:]
         cur_h1, cur_h2, cur_last = h1[:], h2[:], last[:]
         cur_plen = plen[:]
-        cur_last2 = last2[:]
+        # last2 (the next-to-last token) is only consumed by trigram LM
+        # context and 2-D eos ranking; tracking it unconditionally costs
+        # enough VMEM spill to overflow the 16 MB scoped budget at
+        # K=8 / T_BLK=128 (the headline no-LM shape).
+        cur_last2 = last2[:] if track_last2 else None
         cur_lm = lm_acc[:] if have_lm else None
         p_tot = _logaddexp(cur_pb, cur_pnb)              # (B, K_LANES)
 
@@ -141,7 +146,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
         g_pb = [_gather_lane(cur_pb, kconst[k]) for k in range(K)]
         g_pt = [_gather_lane(p_tot, kconst[k]) for k in range(K)]
         g_last = [_gather_lane(cur_last, kconst[k]) for k in range(K)]
-        g_last2 = [_gather_lane(cur_last2, kconst[k]) for k in range(K)]
+        g_last2 = ([_gather_lane(cur_last2, kconst[k]) for k in range(K)]
+                   if track_last2 else None)
         g_h1 = [_gather_lane(cur_h1, kconst[k]) for k in range(K)]
         g_h2 = [_gather_lane(cur_h2, kconst[k]) for k in range(K)]
         g_plen = [_gather_lane(cur_plen, kconst[k]) for k in range(K)]
@@ -205,7 +211,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
         new_h1 = _I1 + lane_k + np.int32(7777) * (t_abs + 1)
         new_h2 = _I2 + lane_k + np.int32(3333) * (t_abs + 1)
         new_last = jnp.full((B_BLK, LANES), -1, jnp.int32)
-        new_last2 = jnp.full((B_BLK, LANES), -1, jnp.int32)
+        new_last2 = (jnp.full((B_BLK, LANES), -1, jnp.int32)
+                     if track_last2 else None)
         new_plen = jnp.zeros((B_BLK, LANES), jnp.int32)
         new_lm = (jnp.zeros((B_BLK, LANES), jnp.float32) if have_lm
                   else None)
@@ -236,8 +243,9 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
             sel_h2 = jnp.where(take_stay, _gather_lane(cur_h2, s_idx), 0)
             sel_last = jnp.where(take_stay,
                                  _gather_lane(cur_last, s_idx), -1)
-            sel_last2 = jnp.where(take_stay,
-                                  _gather_lane(cur_last2, s_idx), -1)
+            sel_last2 = (jnp.where(take_stay,
+                                   _gather_lane(cur_last2, s_idx), -1)
+                         if track_last2 else None)
             sel_plen = jnp.where(take_stay,
                                  _gather_lane(cur_plen, s_idx), 0)
             sel_lm = (jnp.where(take_stay, _gather_lane(cur_lm, s_idx), 0.0)
@@ -258,7 +266,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
                 sel_pb = jnp.where(tk, NEG_INF, sel_pb)
                 sel_h1 = jnp.where(tk, g_h1[k] * _M1 + c_idx + 1, sel_h1)
                 sel_h2 = jnp.where(tk, g_h2[k] * _M2 + c_idx + 1, sel_h2)
-                sel_last2 = jnp.where(tk, g_last[k], sel_last2)
+                if track_last2:
+                    sel_last2 = jnp.where(tk, g_last[k], sel_last2)
                 sel_last = jnp.where(tk, c_idx, sel_last)
                 sel_plen = jnp.where(tk, g_plen[k] + 1, sel_plen)
                 sel_parent = jnp.where(tk, kconst[k], sel_parent)
@@ -273,7 +282,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
             sel_h1 = jnp.where(dead, fresh1, sel_h1)
             sel_h2 = jnp.where(dead, fresh2, sel_h2)
             sel_last = jnp.where(dead, -1, sel_last)
-            sel_last2 = jnp.where(dead, -1, sel_last2)
+            if track_last2:
+                sel_last2 = jnp.where(dead, -1, sel_last2)
             sel_char = jnp.where(dead, -1, sel_char)
             sel_plen = jnp.where(dead, 0, sel_plen)
             if have_lm:
@@ -287,7 +297,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
             new_h1 = _set_lane(new_h1, sel, sel_h1)
             new_h2 = _set_lane(new_h2, sel, sel_h2)
             new_last = _set_lane(new_last, sel, sel_last)
-            new_last2 = _set_lane(new_last2, sel, sel_last2)
+            if track_last2:
+                new_last2 = _set_lane(new_last2, sel, sel_last2)
             new_plen = _set_lane(new_plen, sel, sel_plen)
             if have_lm:
                 new_lm = _set_lane(new_lm, sel, sel_lm)
@@ -309,7 +320,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
         h1[:] = jnp.where(livb, new_h1, cur_h1)
         h2[:] = jnp.where(livb, new_h2, cur_h2)
         last[:] = jnp.where(livb, new_last, cur_last)
-        last2[:] = jnp.where(livb, new_last2, cur_last2)
+        if track_last2:
+            last2[:] = jnp.where(livb, new_last2, cur_last2)
         plen[:] = jnp.where(livb, new_plen, cur_plen)
         if have_lm:
             lm_acc[:] = jnp.where(livb, new_lm, cur_lm)
@@ -329,7 +341,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order, *refs):
 @functools.lru_cache(maxsize=16)
 def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
            max_len: int, t_blk_n: int, interpret: bool,
-           lm_w: float = 0.0, lm_order: int = 0, tab_rows: int = 0):
+           lm_w: float = 0.0, lm_order: int = 0, tab_rows: int = 0,
+           track_last2: bool = False):
     n_b = Bp // B_BLK
     n_t = Tp // t_blk_n
     in_specs = [
@@ -344,7 +357,7 @@ def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
                          memory_space=pltpu.VMEM))
     return pl.pallas_call(
         functools.partial(_beam_kernel, K, C, blank, max_len, t_blk_n,
-                          lm_w, lm_order),
+                          lm_w, lm_order, track_last2),
         grid=(n_b, n_t),
         in_specs=in_specs,
         out_specs=[
@@ -432,6 +445,11 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
         jnp.asarray(lengths, jnp.int32))
     interpret = jax.default_backend() != "tpu"
     lm_w = float(cfg.lm_weight)
+    # next-to-last-token tracking is pure overhead unless something
+    # consumes the trigram context (the table, or a 2-D eos matrix).
+    track_last2 = (lm_trigram is not None
+                   or (lm_eos is not None
+                       and jnp.asarray(lm_eos).ndim == 2))
     if lm_trigram is not None:
         lm_trigram = jnp.asarray(lm_trigram, jnp.float32)
         if lm_trigram.shape != (C + 1, C + 1, C):
@@ -446,18 +464,18 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
         tab = jnp.zeros((R_pad, C_pad), jnp.float32)
         tab = tab.at[:R, :C].set(lm_trigram.reshape(R, C))
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
-                      interpret, lm_w, 3, R_pad)
+                      interpret, lm_w, 3, R_pad, True)
         parent, char, pb, pnb, lm, last, last2 = call(lp, lens, tab)
     elif lm_bigram is not None:
         C1_pad = _round_up(C + 1, LANES)
         tab = jnp.zeros((C1_pad, C_pad), jnp.float32)
         tab = tab.at[:C + 1, :C].set(jnp.asarray(lm_bigram, jnp.float32))
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
-                      interpret, lm_w, 2, C1_pad)
+                      interpret, lm_w, 2, C1_pad, track_last2)
         parent, char, pb, pnb, lm, last, last2 = call(lp, lens, tab)
     else:
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
-                      interpret)
+                      interpret, track_last2=track_last2)
         parent, char, pb, pnb, lm, last, last2 = call(lp, lens)
 
     am = _logaddexp(pb[:B, :K], pnb[:B, :K])
