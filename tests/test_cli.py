@@ -51,20 +51,45 @@ def test_cli_train_predict_test(tmp_path):
     out = run_cli("predict.py", "deepspeech_ctc", wav,
                   "--checkpoint", log_dir / "ckpt",
                   "--units", corpus.root / "units.txt", "--beam",
-                  "--beam-width", 8)
+                  "--beam-width", 8, "--align")
     assert str(wav) in out
+    # --align prints per-token spans for the best hypothesis (or nothing
+    # when the hypothesis is empty this early in training).
+    line = [l for l in out.splitlines() if str(wav) in l][0]
+    hyp = line.split("\t", 1)[1].strip()
+    if hyp:
+        assert any(l.startswith("# align:") for l in out.splitlines())
 
     out = run_cli("test.py", "deepspeech_ctc",
                   "--manifest", corpus.manifest,
                   "--checkpoint", log_dir / "ckpt",
                   "--units", corpus.root / "units.txt",
                   "--batch-size", 4, "--max-label-len", 4,
-                  "--dump-loglikes", tmp_path / "ll")
+                  "--dump-loglikes", tmp_path / "ll",
+                  "--align", tmp_path / "ali",
+                  "--write-segments", tmp_path / "aligned.jsonl")
     assert "token-error-rate" in out
     # Hybrid-workflow export: loglikes ark/scp round-trips via kaldi_io.
     from tpuasr.utils.kaldi_io import read_scp
     mats = dict(read_scp(tmp_path / "ll.scp"))
     assert len(mats) == 12 and all(m.ndim == 2 for m in mats.values())
+    # Forced alignments: one frame-label vector per utterance, same T as
+    # the loglikes, collapsing to the reference transcript.
+    alis = dict(read_scp(tmp_path / "ali.scp"))
+    assert len(alis) == 12
+    for k, v in alis.items():
+        assert v.ndim == 1 and len(v) == len(mats[k])
+        assert (v >= 0).all()  # feasible on this corpus
+    # Segment bootstrap: the written manifest carries aligned sample spans
+    # ordered within each utterance (frame-wise training without hand-made
+    # segments).
+    from tpuasr.data.manifest import read_manifest
+    utts = read_manifest(tmp_path / "aligned.jsonl")
+    assert len(utts) == 12 and all(u.segments for u in utts)
+    for u in utts:
+        assert [s[0] for s in u.segments] == list(u.tokens)
+        for (_, a0, a1), (_, b0, b1) in zip(u.segments, u.segments[1:]):
+            assert a0 <= b0 and a1 <= b1
 
     # ---- LM toolkit: train G from the transcripts, decode with it ----
     arpa = tmp_path / "g.arpa"

@@ -149,3 +149,47 @@ def test_batched_streaming_matches_solo(setup):
         if bat.active[i]:
             bat.flush(i)
     assert bat.tokens == solos, (bat.tokens, solos)
+
+
+def test_greedy_token_frames(setup):
+    """token_frames = the offline greedy emission frame of each token."""
+    fc, model, variables, wav, feats, flens = setup
+    logp, out_lens = model.apply(variables, feats, flens, train=False)
+    ids = np.asarray(jnp.argmax(logp, -1))[0][:int(out_lens[0])]
+    ref_frames, prev = [], 0
+    for t, i in enumerate(ids):
+        i = int(i)
+        if i != 0 and i != prev:
+            ref_frames.append(t)
+        prev = i
+    sr = StreamingRecognizer(variables, fc)
+    for s in range(0, len(wav), 1777):
+        sr.feed(wav[s:s + 1777])
+    sr.flush()
+    assert sr.token_frames == ref_frames
+    assert len(sr.token_frames) == len(sr.tokens)
+    assert sr.frame_seconds == pytest.approx(
+        2.0 * fc.hop_length / fc.sample_rate)
+
+
+def test_beam_keep_logp_aligns(setup):
+    """keep_logp history == offline logp; forced alignment spans cover it."""
+    from tpuasr.decode import BeamSearchConfig
+    from tpuasr.losses import ctc_align
+    fc, model, variables, wav, feats, flens = setup
+    _, ref_logp = offline_tokens(model, variables, feats, flens)
+    sr = StreamingRecognizer(variables, fc, decode="beam",
+                             beam_cfg=BeamSearchConfig(beam_width=4,
+                                                       class_topk=4),
+                             keep_logp=True)
+    sr.feed(wav)
+    sr.flush()
+    hist = np.concatenate(sr.logp_history, axis=0)
+    T = min(len(hist), len(ref_logp))
+    np.testing.assert_allclose(hist[:T], ref_logp[:T], atol=1e-5)
+    if sr.tokens:
+        lab = np.asarray(sr.tokens, np.int32)
+        al = ctc_align(jnp.asarray(hist)[None], jnp.asarray(lab)[None],
+                       jnp.asarray([len(hist)], np.int32),
+                       jnp.asarray([len(lab)], np.int32))
+        assert bool(al["feasible"][0])

@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(prints the running best hypothesis per chunk; "
                         "earlier output may be revised)")
     p.add_argument("--beam-width", type=int, default=8)
+    p.add_argument("--timestamps", action="store_true",
+                   help="per-token times: greedy mode tags each token with "
+                        "its emission time as it streams; beam mode "
+                        "CTC-forced-aligns the final hypothesis "
+                        "(tpuasr.losses.ctc_align) and prints spans")
     add_lm_flags(p)
     return p
 
@@ -67,23 +72,55 @@ def main(argv=None) -> int:
             kw = dict(lm_bigram=lm.fusion_matrix(syms),
                       lm_eos=lm.eos_vector(syms))
         rec = StreamingRecognizer(variables, feat_cfg, decode="beam",
-                                  beam_cfg=cfg, **kw)
+                                  beam_cfg=cfg, keep_logp=args.timestamps,
+                                  **kw)
         beam_mode = True
     else:
         rec = StreamingRecognizer(variables, feat_cfg)
         beam_mode = False
+
+    def fmt(toks, frames):
+        if not args.timestamps or beam_mode:
+            return tokens_to_text(toks, units)
+        spf = rec.frame_seconds
+        return " ".join(f"{tokens_to_text([t], units)}@{f * spf:.2f}"
+                        for t, f in zip(toks, frames))
+
     t_ms = 0.0
+    n_emitted = 0
     for s in range(0, len(wav), chunk):
         toks = rec.feed(wav[s:s + chunk])
         t_ms += args.chunk_ms
         if toks:
             tag = "hyp" if beam_mode else "new"
+            frames = rec.token_frames[n_emitted:]
+            n_emitted = len(rec.token_frames)
             print(f"[{t_ms / 1000.0:7.2f}s {tag}] "
-                  f"{tokens_to_text(toks, units)}", flush=True)
+                  f"{fmt(toks, frames)}", flush=True)
     toks = rec.flush()
     if toks:
-        print(f"[  final] {tokens_to_text(toks, units)}")
+        frames = rec.token_frames[n_emitted:]
+        print(f"[  final] {fmt(toks, frames)}")
     print(f"# transcript: {tokens_to_text(rec.tokens, units)}")
+    if args.timestamps and beam_mode and rec.tokens:
+        # Forced-align the final hypothesis over the full AM output.
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpuasr.losses import ctc_align
+        logp = np.concatenate(rec.logp_history, axis=0)     # (T, C)
+        lab = np.asarray(rec.tokens, np.int32)
+        al = jax.jit(ctc_align)(jnp.asarray(logp)[None], jnp.asarray(lab)[None],
+                                jnp.asarray([logp.shape[0]], jnp.int32),
+                                jnp.asarray([len(lab)], jnp.int32))
+        st = np.asarray(al["token_starts"])[0]
+        en = np.asarray(al["token_ends"])[0]
+        spf = rec.frame_seconds
+        parts = [f"{tokens_to_text([t], units)}"
+                 f"[{st[u] * spf:.2f}-{en[u] * spf:.2f}]"
+                 for u, t in enumerate(rec.tokens)]
+        print(f"# align: {' '.join(parts)}")
     return 0
 
 

@@ -41,6 +41,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "PREFIX.ark/.scp (Kaldi binary FM — the reference's "
                         "hybrid workflow fed these to external Kaldi "
                         "decoders)")
+    p.add_argument("--align", metavar="PREFIX", default=None,
+                   help="CTC-forced-align the reference transcripts and "
+                        "write per-frame label ids to PREFIX.ark/.scp "
+                        "(Kaldi binary FV; blank=0, -1 = infeasible — the "
+                        "analog of Kaldi ali archives; the reference's "
+                        "latgen returned alignments, SURVEY.md section 3.4)")
+    p.add_argument("--write-segments", metavar="OUT.jsonl", default=None,
+                   help="with --align: write a copy of the manifest whose "
+                        "`segments` carry the forced-aligned per-token "
+                        "sample spans — bootstraps frame-wise training "
+                        "(LoaderConfig.frame_label_cfg; the CapsNet/SSVAE "
+                        "path) from a CTC checkpoint, the role Kaldi "
+                        "alignments played for the reference")
     add_lm_flags(p)
     return p
 
@@ -82,10 +95,45 @@ def main(argv=None) -> int:
     utt_text = {u.id: u.text for u in loader.utts}
     refs, hyps = [], []
     wrefs, whyps = [], []
+    if args.write_segments and not args.align:
+        raise SystemExit("--write-segments requires --align")
     loglikes = []     # (utt_id, (T, C) log-probs) when --dump-loglikes
+    aligns = []       # (utt_id, (T,) frame labels) when --align
+    segments = {}     # utt_id -> [[tok, s0, s1], ...] when --write-segments
+    if args.align:
+        from tpuasr.losses import ctc_align
+        align_fn = jax.jit(ctc_align)
     for batch in loader:
         logp, out_lens = forward(jnp.asarray(batch["wav"]),
                                  jnp.asarray(batch["wav_lens"]))
+        if args.align:
+            al = align_fn(logp, jnp.asarray(batch["tokens"]), out_lens,
+                          jnp.asarray(batch["token_lens"]))
+            fl = np.asarray(al["frame_labels"]).astype(np.float32)
+            ol = np.asarray(out_lens)
+            for j in range(len(batch["real"])):
+                if batch["real"][j]:
+                    aligns.append((batch["ids"][j], fl[j, :ol[j]]))
+            if args.write_segments:
+                st = np.asarray(al["token_starts"])
+                en = np.asarray(al["token_ends"])
+                # model-output frame -> samples: out frames stride the
+                # feature frames by (feat_len / out_len), feature frames
+                # stride the waveform by hop_length.
+                from tpuasr.features.reference import num_frames
+                T_feat = num_frames(feat_cfg, batch["wav"].shape[1])
+                hop = feat_cfg.hop_length
+                for j in range(len(batch["real"])):
+                    if not batch["real"][j] or not bool(al["feasible"][j]):
+                        continue
+                    stride = max(1, round(T_feat / max(int(ol[j]), 1)))
+                    segs = []
+                    for u in range(int(batch["token_lens"][j])):
+                        s0 = int(st[j, u]) * stride * hop
+                        s1 = (int(en[j, u]) * stride * hop
+                              + feat_cfg.win_length)
+                        segs.append([int(batch["tokens"][j][u]), s0, s1])
+                    segments[batch["ids"][j]] = segs
         if args.dump_loglikes:
             lp_np = np.asarray(logp)
             ol_np = np.asarray(out_lens)
@@ -138,6 +186,20 @@ def main(argv=None) -> int:
         from tpuasr.utils.kaldi_io import write_ark_scp
         ark, scp = write_ark_scp(args.dump_loglikes, loglikes)
         print(f"# wrote {len(loglikes)} loglike matrices to {ark} ({scp})")
+    if args.align:
+        from tpuasr.utils.kaldi_io import write_ark_scp
+        ark, scp = write_ark_scp(args.align, aligns)
+        print(f"# wrote {len(aligns)} alignments to {ark} ({scp})")
+    if args.write_segments:
+        import dataclasses
+
+        from tpuasr.data.manifest import write_manifest
+        utts = [dataclasses.replace(u, segments=segments.get(u.id,
+                                                             u.segments))
+                for u in loader.utts]
+        write_manifest(args.write_segments, utts)
+        print(f"# wrote manifest with {len(segments)} aligned segment "
+              f"lists to {args.write_segments}")
     ter = wer(refs, hyps)
     out = f"utterances: {len(refs)}  token-error-rate: {ter:.4f}"
     if word_dec is not None:

@@ -15,6 +15,7 @@ blank id = 0; inputs are per-frame log-probabilities (B, T, C); returns
 per-utterance negative log-likelihood (no length normalization).
 """
 
+from tpuasr.losses.align import ctc_align
 from tpuasr.losses.ctc_fb import ctc_loss
 from tpuasr.losses.ctc_ref import ctc_loss_ref
 
@@ -32,4 +33,4 @@ def get_ctc_loss(impl: str = "fb"):
     raise ValueError(f"unknown CTC impl {impl!r}")
 
 
-__all__ = ["ctc_loss", "ctc_loss_ref", "get_ctc_loss"]
+__all__ = ["ctc_align", "ctc_loss", "ctc_loss_ref", "get_ctc_loss"]

@@ -40,7 +40,7 @@ class StreamingRecognizer:
 
     def __init__(self, variables, feat_cfg: FeatureConfig, blank: int = 0,
                  decode: str = "greedy", beam_cfg=None, lm_bigram=None,
-                 lm_eos=None):
+                 lm_eos=None, keep_logp: bool = False):
         """decode: "greedy" (incremental emissions via feed()) or "beam"
         (resumable prefix beam search across chunks; read hypothesis() /
         flush() — beam hypotheses may revise earlier output, so per-chunk
@@ -48,7 +48,11 @@ class StreamingRecognizer:
 
         lm_bigram/lm_eos: shallow-fusion tables (NGramLM.fusion_matrix /
         eos_vector) applied inside the resumable beam search with
-        beam_cfg.lm_weight; beam mode only."""
+        beam_cfg.lm_weight; beam mode only.
+
+        keep_logp: retain per-chunk AM log-probs in ``logp_history`` so the
+        caller can CTC-forced-align the final hypothesis for timestamps
+        (tpuasr.losses.ctc_align); costs O(T*C) host memory."""
         c = feat_cfg
         if c.cmn or c.cvn:
             raise ValueError("streaming requires cmn=False, cvn=False "
@@ -68,6 +72,7 @@ class StreamingRecognizer:
                           else jnp.asarray(lm_bigram, jnp.float32))
         self.lm_eos = (None if lm_eos is None
                        else jnp.asarray(lm_eos, jnp.float32))
+        self.keep_logp = keep_logp
         p = variables["params"]
         self.p = p
         bs = variables.get("batch_stats", {})
@@ -103,6 +108,16 @@ class StreamingRecognizer:
         self._prev_tok = self.blank
         self._beam_state = None
         self.tokens: list[int] = []
+        # Greedy mode: model-output frame index at which each token in
+        # ``tokens`` was first emitted (timestamps; stream.py --timestamps).
+        self.token_frames: list[int] = []
+        self._out_frames = 0
+        self.logp_history: list[np.ndarray] = []
+
+    @property
+    def frame_seconds(self) -> float:
+        """Seconds of audio per model-output frame (conv time stride 2)."""
+        return 2.0 * self.cfg.hop_length / self.cfg.sample_rate
 
     # ---- pure compute pieces (jitted) ----
 
@@ -231,6 +246,8 @@ class StreamingRecognizer:
                 hs.append(jnp.zeros((H,), jnp.float32))
             self._h = tuple(hs)
         logp, self._h = self._rnn_apply(jnp.asarray(frames), self._h)
+        if self.keep_logp:
+            self.logp_history.append(np.asarray(logp))
         if self.decode == "beam":
             from tpuasr.decode.prefix_beam import (beam_init_state,
                                                    ctc_beam_search)
@@ -250,7 +267,9 @@ class StreamingRecognizer:
             t = int(t)
             if t != self.blank and t != self._prev_tok:
                 emitted.append(t)
+                self.token_frames.append(self._out_frames)
             self._prev_tok = t
+            self._out_frames += 1
         self.tokens.extend(emitted)
         return emitted
 
