@@ -81,11 +81,33 @@ def main() -> int:
 
     audio_seconds = B * SECONDS
     rtf_x = audio_seconds / dt
+
+    # Roofline accounting (VERDICT r1 item 4): XLA cost analysis of the
+    # whole pipeline + analytic correction for the Pallas GRU matmuls
+    # (custom calls report 0 flops). T_out = feature frames / conv stride 2.
+    rl = {}
+    try:
+        from tpuasr.features.reference import num_frames
+        from tpuasr.utils.profiling import (cost_analysis, gru_param_flops,
+                                            roofline)
+        ca = cost_analysis(pipeline, wav_d, lens_d)
+        corr = (gru_param_flops(variables["params"], B,
+                                -(-int(num_frames(feat_cfg, S)) // 2))
+                if on_tpu else 0.0)  # CPU path runs the XLA scan (counted)
+        rl = roofline(pipeline, (wav_d, lens_d), dt,
+                      flops=ca["flops"] + corr, bytes_accessed=ca["bytes"])
+    except Exception as e:
+        rl = {"error": str(e)}
+
     print(json.dumps({
         "metric": "decode_rtf_x",
         "value": round(rtf_x, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf_x / 50.0, 3),
+        "mfu": round(rl.get("mfu", 0.0), 4),
+        "achieved_tflops": round(rl.get("achieved_tflops", 0.0), 2),
+        "hbm_frac": round(rl.get("hbm_frac", 0.0), 4),
+        "bound": rl.get("bound"),
     }))
     return 0
 

@@ -48,9 +48,22 @@ def main():
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / n
     detail(f"loss={float(m['loss']):.3f}")
+    from tpuasr.utils.profiling import roofline
+    try:
+        rl = roofline(type(trainer).train_step, (trainer, state, dbatch),
+                      dt)
+    except Exception as e:
+        rl = {"error": str(e)}
+    import json
+    detail("roofline: " + json.dumps(rl))
     emit(3, "deepspeech_ctc_train_step_ms", dt * 1e3, "ms",
          batch_size=B, audio_seconds_per_step=B * SECONDS,
-         utt_per_sec=round(B / dt, 1), backend=jax.default_backend())
+         utt_per_sec=round(B / dt, 1), backend=jax.default_backend(),
+         mfu=round(rl.get("mfu", 0.0), 4),
+         achieved_tflops=round(rl.get("achieved_tflops", 0.0), 2),
+         hbm_frac=round(rl.get("hbm_frac", 0.0), 4),
+         bound=rl.get("bound"),
+         roofline_frac=round(rl.get("roofline_frac", 0.0), 4))
 
 
 if __name__ == "__main__":

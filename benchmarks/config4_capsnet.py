@@ -45,9 +45,27 @@ def main():
     infer = jax.jit(lambda b: trainer.eval_step(state, b)["tokens"])
     t_inf = time_fn(infer, dbatch)
     detail(f"loss={float(m['loss']):.3f}")
+    import json
+
+    from tpuasr.utils.profiling import roofline
+    try:
+        rl = roofline(type(trainer).train_step, (trainer, state, dbatch),
+                      train_ms / 1e3)
+        rl_inf = roofline(infer, (dbatch,), t_inf)
+    except Exception as e:
+        rl, rl_inf = {"error": str(e)}, {}
+    detail("roofline train: " + json.dumps(rl))
+    detail("roofline infer: " + json.dumps(rl_inf))
     emit(4, "capsnet_train_step_ms", train_ms, "ms",
          infer_ms=round(t_inf * 1e3, 2), batch_size=B,
-         backend=jax.default_backend())
+         backend=jax.default_backend(),
+         mfu=round(rl.get("mfu", 0.0), 4),
+         achieved_tflops=round(rl.get("achieved_tflops", 0.0), 2),
+         hbm_frac=round(rl.get("hbm_frac", 0.0), 4),
+         bound=rl.get("bound"),
+         roofline_frac=round(rl.get("roofline_frac", 0.0), 4),
+         infer_mfu=round(rl_inf.get("mfu", 0.0), 4),
+         infer_bound=rl_inf.get("bound"))
 
 
 if __name__ == "__main__":

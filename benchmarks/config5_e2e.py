@@ -47,14 +47,29 @@ def main():
     dec = jax.jit(lambda lp, ol: beam(lp, ol, bs_cfg)["tokens"])
 
     bd = rtf_breakdown(featurize, am, dec, wav, lens, B * SECONDS)
+    if on_tpu:
+        # Correct the AM stage for Pallas-GRU flops (custom calls report
+        # 0 flops to XLA cost analysis).
+        from tpuasr.utils.profiling import (cost_analysis, gru_param_flops,
+                                            roofline)
+        feats, flens = featurize(wav, lens)
+        logp, _ = am(feats, flens)
+        ca = cost_analysis(am, feats, flens)
+        corr = gru_param_flops(variables["params"], B, int(logp.shape[1]))
+        bd["am"]["roofline"] = roofline(
+            am, (feats, flens), bd["am"]["seconds"],
+            flops=ca["flops"] + corr, bytes_accessed=ca["bytes"])
     detail(json.dumps(bd, indent=2))
+    am_rl = bd["am"].get("roofline", {})
     emit(5, "e2e_decode_rtf_x", bd["e2e"]["x_realtime"], "x_realtime",
          utt_per_sec=round(B / bd["e2e"]["seconds"], 1),
          feat_x=round(bd["featurizer"]["x_realtime"], 1),
          am_x=round(bd["am"]["x_realtime"], 1),
          decode_x=round(bd["decode"]["x_realtime"], 1),
          vs_baseline=round(bd["e2e"]["x_realtime"] / 50.0, 2),
-         backend=jax.default_backend())
+         backend=jax.default_backend(),
+         am_mfu=round(am_rl.get("mfu", 0.0), 4),
+         am_bound=am_rl.get("bound"))
 
 
 if __name__ == "__main__":
