@@ -193,3 +193,63 @@ def test_beam_keep_logp_aligns(setup):
                        jnp.asarray([len(hist)], np.int32),
                        jnp.asarray([len(lab)], np.int32))
         assert bool(al["feasible"][0])
+
+
+@pytest.mark.parametrize("with_lm", [False, True])
+def test_batched_streaming_beam_matches_solo(setup, with_lm):
+    """Batched lockstep beam (+ LM fusion) == per-slot solo beam, including
+    early flush of a short slot and slot reattachment."""
+    from tpuasr.decode import BeamSearchConfig
+    from tpuasr.serve.streaming import BatchedStreamingRecognizer
+    fc, model, variables, wav, feats, flens = setup
+    rng = np.random.default_rng(7)
+    wavs = [wav,
+            np.asarray(np.sin(2 * np.pi * 1400 * np.arange(16000) / 8000)
+                       + 0.1 * rng.standard_normal(16000), np.float32),
+            wav[:8000]]
+    cfg = BeamSearchConfig(beam_width=4, class_topk=4,
+                           lm_weight=0.3 if with_lm else 0.0)
+    kw = {}
+    if with_lm:
+        from tpuasr.lm import train_ngram
+        syms = [str(i) for i in range(6)]
+        lm = train_ngram([["1", "2", "3"], ["2", "3", "4"],
+                          ["3", "4", "5"]], order=2)
+        kw = dict(lm_bigram=lm.fusion_matrix(syms),
+                  lm_eos=lm.eos_vector(syms))
+
+    def solo_run(w):
+        sr = StreamingRecognizer(variables, fc, decode="beam",
+                                 beam_cfg=cfg, **kw)
+        for s in range(0, len(w), 2000):
+            sr.feed(w[s:s + 2000])
+        sr.flush()
+        return list(sr.tokens)
+
+    solos = [solo_run(w) for w in wavs]
+
+    bat = BatchedStreamingRecognizer(variables, fc, n_streams=3,
+                                     decode="beam", beam_cfg=cfg, **kw)
+    chunk = 2000
+    maxlen = max(len(w) for w in wavs)
+    for s in range(0, maxlen, chunk):
+        tick = {}
+        for i, w in enumerate(wavs):
+            if s < len(w):
+                tick[i] = w[s:s + chunk]
+            elif bat.active[i]:
+                bat.flush(i)
+        if tick:
+            bat.feed(tick)
+    for i in range(3):
+        if bat.active[i]:
+            bat.flush(i)
+    assert bat.tokens == solos, (bat.tokens, solos)
+
+    # Reattach the short slot with different audio: fresh beam state.
+    bat.attach(2)
+    w2 = wavs[1][:8000]
+    for s in range(0, len(w2), chunk):
+        bat.feed({2: w2[s:s + chunk]})
+    got = bat.flush(2)
+    assert got == solo_run(w2)

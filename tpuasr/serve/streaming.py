@@ -279,18 +279,28 @@ class BatchedStreamingRecognizer:
     the TPU serving shape: one jitted program per tick processes the whole
     slot batch, so chip utilization scales with concurrent sessions.
 
-    Per-slot semantics are identical to StreamingRecognizer (greedy decode);
-    tests verify each slot matches a solo recognizer bit-for-bit. Slots are
-    attached/detached independently; detached slots ride along masked.
+    Per-slot semantics are identical to StreamingRecognizer (greedy OR
+    resumable prefix beam search with optional LM shallow fusion); tests
+    verify each slot matches a solo recognizer bit-for-bit in both modes.
+    Slots are attached/detached independently; detached slots ride along
+    masked (the beam search freezes rows whose length is 0).
     """
 
     def __init__(self, variables, feat_cfg: FeatureConfig, n_streams: int,
-                 blank: int = 0):
+                 blank: int = 0, decode: str = "greedy", beam_cfg=None,
+                 lm_bigram=None, lm_eos=None):
         self.n = n_streams
         # Reuse the single-stream compute; vmap it over the slot axis.
-        self._solo = StreamingRecognizer(variables, feat_cfg, blank)
+        self._solo = StreamingRecognizer(variables, feat_cfg, blank,
+                                         decode=decode, beam_cfg=beam_cfg,
+                                         lm_bigram=lm_bigram, lm_eos=lm_eos)
         self.blank = blank
         self.cfg = feat_cfg
+        self.decode = decode
+        if decode == "beam":
+            self.beam_cfg = self._solo.beam_cfg
+        self.lm_bigram = self._solo.lm_bigram
+        self.lm_eos = self._solo.lm_eos
         self._vfeat = jax.jit(jax.vmap(self._solo._featurize_frames))
         self._vconv1 = jax.jit(jax.vmap(self._solo._conv1))
         self._vconv2 = jax.jit(jax.vmap(self._solo._conv2))
@@ -306,6 +316,7 @@ class BatchedStreamingRecognizer:
         self._buf2 = [None] * self.n
         self._h = None
         self._prev = [self.blank] * self.n
+        self._beam_state = None          # (n,)-batched resumable beam state
         self.tokens = [[] for _ in range(self.n)]
         self.active = [False] * self.n
 
@@ -319,7 +330,14 @@ class BatchedStreamingRecognizer:
         self.tokens[slot] = []
         self.active[slot] = True
         if self._h is not None:
-            self._h = tuple(h.at[:, slot].set(0.0) for h in self._h)
+            # Layer states are (n_slots, H): zero the slot's ROW.
+            self._h = tuple(h.at[slot].set(0.0) for h in self._h)
+        if self._beam_state is not None:
+            from tpuasr.decode.prefix_beam import beam_init_state
+            fresh = beam_init_state(1, self.beam_cfg)
+            self._beam_state = jax.tree_util.tree_map(
+                lambda full, f1: full.at[slot].set(f1[0]),
+                self._beam_state, fresh)
 
     def feed(self, chunks: dict) -> dict:
         """chunks: {slot: samples}. Returns {slot: new tokens}.
@@ -389,6 +407,10 @@ class BatchedStreamingRecognizer:
         act = jnp.asarray(active)
         self._h = tuple(hh.at[act].set(nh)
                         for hh, nh in zip(self._h, new_h))
+        if self.decode == "beam":
+            for i in active:
+                self._buf2[i] = self._buf2[i][n_out2:]
+            return self._beam_tick(active, logp)
         ids = np.asarray(jnp.argmax(logp, -1))
         for j, i in enumerate(active):
             self._buf2[i] = self._buf2[i][n_out2:]
@@ -400,8 +422,39 @@ class BatchedStreamingRecognizer:
             self.tokens[i].extend(out[i])
         return out
 
+    def _beam_tick(self, active: list, logp) -> dict:
+        """Advance the resumable beam for the active slots by one tick.
+
+        Beam mode returns the (possibly revised) RUNNING best hypothesis
+        per slot — same semantics as the solo beam recognizer.
+        """
+        from tpuasr.decode.prefix_beam import (beam_init_state, beam_results,
+                                               ctc_beam_search)
+        if self._beam_state is None:
+            self._beam_state = beam_init_state(self.n, self.beam_cfg)
+        act = jnp.asarray(active)
+        sub = jax.tree_util.tree_map(lambda x: x[act], self._beam_state)
+        Tc = logp.shape[1]
+        res = ctc_beam_search(
+            logp, jnp.full((len(active),), Tc, jnp.int32), self.beam_cfg,
+            init_state=sub, return_state=True,
+            lm_bigram=self.lm_bigram, lm_eos=self.lm_eos)
+        self._beam_state = jax.tree_util.tree_map(
+            lambda full, new: full.at[act].set(new),
+            self._beam_state, res["state"])
+        toks = np.asarray(res["tokens"])
+        tlens = np.asarray(res["token_lens"])
+        out = {}
+        for j, i in enumerate(active):
+            self.tokens[i] = toks[j, 0, :tlens[j, 0]].tolist()
+            out[i] = list(self.tokens[i])
+        return out
+
     def flush(self, slot: int) -> list:
-        """Finish one stream (pads its tails solo for exactness)."""
+        """Finish one stream (pads its tails solo for exactness).
+
+        Greedy mode returns the newly emitted tokens; beam mode returns the
+        FINAL hypothesis for the slot (matching the solo recognizer)."""
         if not self.active[slot]:
             return []
         solo = self._solo
@@ -412,7 +465,22 @@ class BatchedStreamingRecognizer:
         if self._h is not None:
             solo._h = tuple(h[slot] for h in self._h)
         solo._prev_tok = self._prev[slot]
+        if self.decode == "beam" and self._beam_state is not None:
+            solo._beam_state = jax.tree_util.tree_map(
+                lambda x: x[slot:slot + 1], self._beam_state)
         toks = solo.flush()
-        self.tokens[slot].extend(toks)
+        if self.decode == "beam":
+            if solo._beam_state is not None:
+                from tpuasr.decode.prefix_beam import beam_results
+                res = beam_results(solo._beam_state, 1,
+                                   lm_weight=self.beam_cfg.lm_weight,
+                                   lm_eos=self.lm_eos)
+                n = int(res["token_lens"][0, 0])
+                toks = np.asarray(res["tokens"])[0, 0, :n].tolist()
+            else:
+                toks = list(self.tokens[slot])
+            self.tokens[slot] = list(toks)
+        else:
+            self.tokens[slot].extend(toks)
         self.active[slot] = False
         return toks
