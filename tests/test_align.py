@@ -72,9 +72,9 @@ def _rand_logp(rng, T, C):
 @pytest.mark.parametrize("T,C,labels", [
     (4, 3, [1, 2]),
     (5, 4, [2, 2]),          # repeated label forces a blank between
-    (6, 4, [1, 2, 3]),
-    (3, 3, [1]),
-    (6, 5, [4, 1, 4]),
+    pytest.param(6, 4, [1, 2, 3], marks=pytest.mark.slow),
+    pytest.param(3, 3, [1], marks=pytest.mark.slow),
+    pytest.param(6, 5, [4, 1, 4], marks=pytest.mark.slow),
 ])
 def test_viterbi_matches_bruteforce(rng, T, C, labels):
     lp = _rand_logp(rng, T, C)

@@ -23,6 +23,7 @@ def test_beam_large_class_count(rng):
     assert np.all((toks[:n] > 0) & (toks[:n] < C))
 
 
+@pytest.mark.slow
 def test_pallas_beam_large_class_count(rng):
     """C=200 -> C_pad=256 path in the Pallas kernel (interp on CPU)."""
     from jax.experimental.pallas import tpu as pltpu

@@ -1,6 +1,8 @@
 """Frame-wise training path (reference's CapsNet/SSVAE classifier mode):
 segments -> frame labels -> per-frame CE -> above-chance frame accuracy."""
 
+import pytest
+
 import numpy as np
 
 from tpuasr.data import AudioLoader, LoaderConfig, make_synthetic_corpus
@@ -29,6 +31,7 @@ def test_frame_labels_from_segments(tmp_path):
         assert collapsed == toks, (collapsed, toks)
 
 
+@pytest.mark.slow
 def test_framewise_training_learns(tmp_path):
     corpus = make_synthetic_corpus(tmp_path, num_utts=16, vocab_size=5,
                                    min_tokens=2, max_tokens=4, seed=5)

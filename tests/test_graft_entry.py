@@ -19,6 +19,7 @@ def test_entry_compiles():
     assert logp.shape[0] == 4 and logp.shape[2] == 64
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
     ge.dryrun_multichip(8)

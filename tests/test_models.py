@@ -72,7 +72,9 @@ def test_padding_invariance(name):
                                np.asarray(lp2)[0, :n], rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("name", list(SMALL))
+@pytest.mark.parametrize("name", [
+    n if n == "capsnet" else pytest.param(n, marks=pytest.mark.slow)
+    for n in SMALL])
 def test_grad_flow(name):
     C = 5
     model = SMALL[name](C)
@@ -107,7 +109,8 @@ def test_registry():
         create_model("nope", num_classes=3)
 
 
-@pytest.mark.parametrize("name", ["deepspeech", "resnet"])
+@pytest.mark.parametrize("name", [
+    pytest.param("deepspeech", marks=pytest.mark.slow), "resnet"])
 def test_tiny_overfit(name):
     """A few steps of Adam on one batch must reduce CTC loss substantially."""
     C = 6

@@ -1,6 +1,8 @@
 """Trainer objective variants end-to-end: seq2seq_ce (ResNetED) and
 framewise_ce with the SSVAE adapter model."""
 
+import pytest
+
 import numpy as np
 
 from tpuasr.data import AudioLoader, LoaderConfig, make_synthetic_corpus
@@ -8,6 +10,7 @@ from tpuasr.features import FeatureConfig
 from tpuasr.train import TrainConfig, Trainer
 
 
+@pytest.mark.slow
 def test_trainer_seq2seq_ce(tmp_path):
     corpus = make_synthetic_corpus(tmp_path, num_utts=8, vocab_size=5,
                                    min_tokens=2, max_tokens=4, seed=4)
@@ -62,6 +65,7 @@ def test_trainer_framewise_ssvae(tmp_path):
     assert last < first, (first, last)
 
 
+@pytest.mark.slow
 def test_trainer_ssvae_elbo_semi_supervised(tmp_path):
     """The M2 ELBO objective end-to-end through the Trainer: half the
     corpus stripped of segments (-> unlabeled frames), loss decreases."""

@@ -122,6 +122,7 @@ def test_bf16_kernel_close_to_f32(rng):
                for t in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_fused_bidir_matches_reference(rng):
     """FusedBiGRU == two reference scans run on its own params + grads."""
     from tpuasr.models.layers import BiGRU, reverse_sequences, sequence_mask

@@ -1,11 +1,14 @@
 """Fixed-shape discipline: after the first epoch warms the jit caches, later
 epochs must not trigger ANY new compilation (SURVEY.md section 4.2)."""
 
+import pytest
+
 from tpuasr.data import AudioLoader, LoaderConfig, make_synthetic_corpus
 from tpuasr.features import FeatureConfig
 from tpuasr.train import TrainConfig, Trainer
 
 
+@pytest.mark.slow
 def test_zero_recompile_across_epochs(tmp_path):
     corpus = make_synthetic_corpus(tmp_path, num_utts=24, vocab_size=6,
                                    min_tokens=2, max_tokens=6, seed=3)

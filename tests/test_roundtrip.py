@@ -29,7 +29,9 @@ SMALL_KWARGS = {
 OBJECTIVE = {"resnet_ed": "seq2seq_ce", "ssvae": "framewise_ce"}
 
 
-@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+@pytest.mark.parametrize("name", [
+    n if n == "resnet_ctc" else pytest.param(n, marks=pytest.mark.slow)
+    for n in sorted(MODEL_REGISTRY)])
 def test_train_save_reload_forward(name, tmp_path):
     fc = FeatureConfig(n_mels=32)
     corpus = make_synthetic_corpus(tmp_path / "c", num_utts=4, vocab_size=5,

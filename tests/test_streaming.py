@@ -39,7 +39,9 @@ def offline_tokens(model, variables, feats, flens, blank=0):
     return out, np.asarray(logp)[0, :int(out_lens[0])]
 
 
-@pytest.mark.parametrize("chunk", [1600, 1777, 4000, 24000])
+@pytest.mark.parametrize("chunk", [
+    pytest.param(c, marks=pytest.mark.slow) if c != 1777 else c
+    for c in (1600, 1777, 4000, 24000)])
 def test_streaming_matches_offline(setup, chunk):
     fc, model, variables, wav, feats, flens = setup
     ref_tokens, ref_logp = offline_tokens(model, variables, feats, flens)
@@ -71,7 +73,9 @@ def test_reset_reuses(setup):
     assert sr.tokens == first == ref_tokens
 
 
-@pytest.mark.parametrize("chunk", [1777, 24000])
+@pytest.mark.parametrize("chunk", [
+    pytest.param(1777, marks=pytest.mark.slow),
+    pytest.param(24000, marks=pytest.mark.slow)])
 def test_streaming_beam_matches_offline_beam(setup, chunk):
     """Resumable beam state across chunks == one-shot beam on full logp."""
     from tpuasr.decode import BeamSearchConfig, ctc_beam_search
@@ -89,7 +93,8 @@ def test_streaming_beam_matches_offline_beam(setup, chunk):
     assert sr.tokens == ref_tokens
 
 
-@pytest.mark.parametrize("chunk", [1777, 24000])
+@pytest.mark.parametrize("chunk", [
+    1777, pytest.param(24000, marks=pytest.mark.slow)])
 def test_streaming_fused_lm_matches_offline(setup, chunk):
     """Chunked beam decoding WITH on-device LM fusion == one-shot fused
     beam on the full logp (the LM score and (last2,last) context ride the
@@ -116,6 +121,7 @@ def test_streaming_fused_lm_matches_offline(setup, chunk):
     assert sr.tokens == ref_tokens
 
 
+@pytest.mark.slow
 def test_batched_streaming_matches_solo(setup):
     """3 concurrent slots, different audio, == per-slot solo recognizers."""
     from tpuasr.serve.streaming import BatchedStreamingRecognizer
@@ -196,6 +202,7 @@ def test_beam_keep_logp_aligns(setup):
 
 
 @pytest.mark.parametrize("with_lm", [False, True])
+@pytest.mark.slow
 def test_batched_streaming_beam_matches_solo(setup, with_lm):
     """Batched lockstep beam (+ LM fusion) == per-slot solo beam, including
     early flush of a short slot and slot reattachment."""

@@ -32,6 +32,7 @@ def feat_cfg():
     return FeatureConfig(n_mels=32)
 
 
+@pytest.mark.slow
 def test_train_reduces_loss(corpus, tmp_path):
     loader = AudioLoader(corpus.manifest,
                          LoaderConfig(batch_size=4, max_label_len=8))
@@ -50,6 +51,7 @@ def test_train_reduces_loss(corpus, tmp_path):
     assert last_loss < first_loss * 0.8, (first_loss, last_loss)
 
 
+@pytest.mark.slow
 def test_fit_and_resume(corpus, tmp_path):
     loader = AudioLoader(corpus.manifest,
                          LoaderConfig(batch_size=4, max_label_len=8))
@@ -74,6 +76,7 @@ def test_fit_and_resume(corpus, tmp_path):
     assert int(state2.step) > step1
 
 
+@pytest.mark.slow
 def test_data_parallel_mesh(corpus, tmp_path):
     """Same batch, 1-device vs 8-device data-parallel mesh: same loss."""
     import jax
@@ -125,6 +128,7 @@ def test_orbax_checkpointer(corpus, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_shard_map_step_matches_jit_step(corpus, tmp_path):
     """Explicit shard_map + pmean == jit-with-shardings train step."""
     import jax
