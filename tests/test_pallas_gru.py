@@ -197,3 +197,35 @@ def test_fused_proj_matches_plain(rng):
         np.testing.assert_allclose(np.asarray(g_f["params"][k]),
                                    np.asarray(g_p["params"][k]),
                                    rtol=1e-3, atol=1e-4, err_msg=k)
+
+
+def test_fused_proj_recompute_backward(rng, monkeypatch):
+    """The large-H backward fallback (XLA xp recompute + plain BPTT kernel)
+    produces the same gradients as the fully-fused backward kernel."""
+    from tpuasr.ops import pallas_gru as pg
+
+    B, T, D, H = 2, 20, 12, 16
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    lens = jnp.array([T, T - 7], jnp.int32)
+    layer = GRULayer(hidden=H, use_pallas=True, fused_proj=True)
+    v = layer.init(jax.random.PRNGKey(0), x, lens)
+    loss = lambda vv: jnp.sum(layer.apply(vv, x, lens) ** 2)
+    g_fused = jax.grad(loss)(v)
+
+    monkeypatch.setattr(pg, "_XFB_RESIDENT_BUDGET", 0)  # force fallback
+    g_rec = jax.grad(loss)(v)
+    for k in g_fused["params"]:
+        np.testing.assert_allclose(np.asarray(g_rec["params"][k]),
+                                   np.asarray(g_fused["params"][k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_fused_proj_backward_dispatch():
+    """Policy: DeepSpeech-scale H=512 layers (18.9 MB resident) must take
+    the recompute path (measured regression on chip otherwise); H=256
+    serving layers stay on the fully-fused kernel (measured win)."""
+    from tpuasr.ops.pallas_gru import (_XFB_RESIDENT_BUDGET,
+                                       _xfb_resident_bytes)
+
+    assert _xfb_resident_bytes(1024, 512) > _XFB_RESIDENT_BUDGET
+    assert _xfb_resident_bytes(1312, 256) <= _XFB_RESIDENT_BUDGET
