@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main() -> int:
+    from tpuasr.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -11,6 +11,10 @@ import sys
 
 import numpy as np
 
+from tpuasr.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def emit(config: int, metric: str, value: float, unit: str, **extra):
     rec = {"config": config, "metric": metric, "value": round(value, 4),

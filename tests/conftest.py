@@ -17,6 +17,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by many
+# small CPU XLA compiles; warm re-runs (CI retries, local iteration) reuse
+# them across processes. Fresh-cache time is unchanged.
+from tpuasr.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

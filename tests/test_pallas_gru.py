@@ -229,3 +229,21 @@ def test_fused_proj_backward_dispatch():
 
     assert _xfb_resident_bytes(1024, 512) > _XFB_RESIDENT_BUDGET
     assert _xfb_resident_bytes(1312, 256) <= _XFB_RESIDENT_BUDGET
+
+
+def test_bf16_fused_proj_grads(rng):
+    """bf16 IO through the fully-fused projection backward: finite grads,
+    close to the f32 fused path (covers the mixed-dtype dwx contraction)."""
+    B, T, D, H = 2, 20, 12, 16
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    lens = jnp.array([T, T - 7], jnp.int32)
+    f32 = GRULayer(hidden=H, use_pallas=True, fused_proj=True)
+    b16 = GRULayer(hidden=H, use_pallas=True, fused_proj=True,
+                   bf16_kernel=True)
+    v = f32.init(jax.random.PRNGKey(0), x, lens)
+    g32 = jax.grad(lambda p: jnp.sum(f32.apply(p, x, lens) ** 2))(v)
+    g16 = jax.grad(lambda p: jnp.sum(b16.apply(p, x, lens) ** 2))(v)
+    for k in g32["params"]:
+        a, b = np.asarray(g16["params"][k]), np.asarray(g32["params"][k])
+        assert np.all(np.isfinite(a)), k
+        np.testing.assert_allclose(a, b, rtol=0.1, atol=0.5, err_msg=k)

@@ -7,6 +7,12 @@ from pathlib import Path
 
 from tpuasr.features import FeatureConfig
 from tpuasr.models import MODEL_REGISTRY
+from tpuasr.utils.compile_cache import enable_compilation_cache
+
+# Every CLI entry point pays XLA compilation on cold start; the persistent
+# cache makes repeat invocations (the common serving/ops pattern) reuse
+# compiled executables across processes.
+enable_compilation_cache()
 
 
 def add_common_flags(p: argparse.ArgumentParser):

@@ -666,8 +666,8 @@ def _bwd_xf_kernel(H, T_BLK, x_ref, ysp_ref, wx_ref, b_ref, wh_ref,
         preferred_element_type=jnp.float32).reshape(TB, B, D).astype(
             dx_ref.dtype)
     dwx_ref[:] += jax.lax.dot_general(
-        xb.reshape(TB * B, D), dxp, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        xb.reshape(TB * B, D).astype(jnp.float32), dxp,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     db_ref[:] += jnp.sum(dxp, axis=0, keepdims=True)
 
 
