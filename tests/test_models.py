@@ -144,3 +144,24 @@ def test_tiny_overfit(name):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_deepspeech_pallas_time_major_matches_plain():
+    """pallas_gru=True runs the RNN stack time-major with in-kernel reverse
+    (no reverse_sequences); it must match the batch-major lax.scan path on
+    ragged rows (fwd, eval mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = 7
+    kw = dict(num_classes=C, rnn_hidden=16, rnn_layers=2, conv_channels=4)
+    plain = DeepSpeechCTC(**kw)
+    pallas = DeepSpeechCTC(**kw, pallas_gru=True, fused_proj=True)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 32))
+    lens = jnp.array([40, 27], jnp.int32)
+    v = plain.init(jax.random.PRNGKey(1), feats, lens, train=False)
+    logp_p, ol_p = plain.apply(v, feats, lens, train=False)
+    with pltpu.force_tpu_interpret_mode():
+        logp_k, ol_k = pallas.apply(v, feats, lens, train=False)
+    np.testing.assert_array_equal(np.asarray(ol_p), np.asarray(ol_k))
+    np.testing.assert_allclose(np.asarray(logp_k), np.asarray(logp_p),
+                               rtol=1e-4, atol=1e-5)

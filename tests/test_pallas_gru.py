@@ -247,3 +247,23 @@ def test_bf16_fused_proj_grads(rng):
         a, b = np.asarray(g16["params"][k]), np.asarray(g32["params"][k])
         assert np.all(np.isfinite(a)), k
         np.testing.assert_allclose(a, b, rtol=0.1, atol=0.5, err_msg=k)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_reverse_kernel_grads_match_scan(rng, fused):
+    """Reversed-iteration kernels (no reverse_sequences gathers) produce
+    the plain-path gradients for ragged rows, both VJP variants."""
+    B, T, D, H = 2, 20, 12, 16
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    lens = jnp.array([T, T - 7], jnp.int32)
+    ref = GRULayer(hidden=H, reverse=True, use_pallas=False)
+    ker = GRULayer(hidden=H, reverse=True, use_pallas=True,
+                   fused_proj=fused)
+    v = ref.init(jax.random.PRNGKey(0), x, lens)
+    loss = lambda m: (lambda p: jnp.sum(m.apply(p, x, lens) ** 2))
+    g_ref = jax.grad(loss(ref))(v)
+    g_ker = jax.grad(loss(ker))(v)
+    for k in g_ref["params"]:
+        np.testing.assert_allclose(np.asarray(g_ker["params"][k]),
+                                   np.asarray(g_ref["params"][k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)

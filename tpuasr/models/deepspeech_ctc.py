@@ -65,28 +65,59 @@ class DeepSpeechCTC(nn.Module):
         mask = sequence_mask(out_lens, Tp)
         x = x * mask[:, :, None]
 
+        # With the Pallas kernels the whole RNN stack (and head) runs
+        # TIME-MAJOR: one transpose in, one transpose of the small (T,B,C)
+        # logp out — instead of (B,T,·)<->(T,B,·) round trips inside every
+        # layer. MaskedBatchNorm reduces over (batch, time) jointly, so it
+        # is layout-agnostic as long as the mask matches.
+        tm = self.pallas_gru
+        bn_mask = mask
+        T_out = Tp
+        if tm:
+            # Pad time ONCE to a multiple of 16 here (kernel T_BLK is a
+            # power of two <= 16), so every per-layer kernel call takes its
+            # aligned fast path — no pad/slice copy of the (T, B, D)
+            # stream per direction per layer.
+            T16 = -(-Tp // 16) * 16
+            if T16 != Tp:
+                x = jnp.pad(x, ((0, 0), (0, T16 - Tp), (0, 0)))
+                mask = sequence_mask(out_lens, T16)
+            x = jnp.transpose(x, (1, 0, 2))    # (T16, B, F'*C)
+            bn_mask = jnp.transpose(mask, (1, 0))
+            if self.bf16_gru:
+                # bf16 end-to-end through the stack: halves the HBM
+                # traffic of every elementwise pass between kernels (BN
+                # affine, masks, concats). BN statistics and the head
+                # stay f32.
+                x = x.astype(jnp.bfloat16)
+
         for i in range(self.rnn_layers):
             x = MaskedBatchNorm(use_running_average=not train,
                                 axis_name=self.axis_name,
-                                name=f"rnn{i}_bn")(x, mask)
+                                name=f"rnn{i}_bn")(x, bn_mask)
             if self.bidirectional:
                 x = BiGRU(self.rnn_hidden, name=f"rnn{i}",
                           use_pallas=self.pallas_gru,
                           bf16_kernel=self.bf16_gru,
                           fused_bidir=self.fused_bidir,
-                          fused_proj=self.fused_proj)(x, out_lens)
+                          fused_proj=self.fused_proj,
+                          time_major=tm)(x, out_lens)
             else:
                 from tpuasr.models.layers import GRULayer
                 x = GRULayer(self.rnn_hidden, name=f"rnn{i}",
                              use_pallas=self.pallas_gru,
                              bf16_kernel=self.bf16_gru,
-                             fused_proj=self.fused_proj)(x, out_lens)
+                             fused_proj=self.fused_proj,
+                             time_major=tm)(x, out_lens)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
         x = MaskedBatchNorm(use_running_average=not train,
-                            axis_name=self.axis_name, name="head_bn")(x, mask)
-        x = nn.Dense(self.num_classes, name="head")(x)
+                            axis_name=self.axis_name,
+                            name="head_bn")(x, bn_mask)
+        x = nn.Dense(self.num_classes, name="head")(x.astype(jnp.float32))
         logp = nn.log_softmax(x, axis=-1)
-        logp = jnp.where(mask[:, :, None], logp, 0.0)
+        logp = jnp.where(bn_mask[:, :, None], logp, 0.0)
+        if tm:
+            logp = jnp.transpose(logp[:T_out], (1, 0, 2))
         return logp, out_lens

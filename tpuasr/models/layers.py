@@ -50,6 +50,10 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, feat_shape)
         bias = self.param("bias", nn.initializers.zeros, feat_shape)
 
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)   # stats/affine in f32; output re-cast —
+        #                             with a bf16 stack XLA fuses the casts
+        #                             into the surrounding elementwise pass
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -70,7 +74,7 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1 - self.momentum) * var)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        return (y * scale + bias).astype(in_dtype)
 
 
 class GRULayer(nn.Module):
@@ -87,55 +91,62 @@ class GRULayer(nn.Module):
     use_pallas: bool = False   # VMEM-resident-weights Pallas scan kernel
     bf16_kernel: bool = False  # stream xp/ys/wh in bf16 (f32 gate math)
     fused_proj: bool = False   # x@Wx inside the kernel (xp never in HBM)
+    # x is (T, B, D) and the output (T, B, H): the whole RNN stack can stay
+    # time-major so the per-layer (B,T,·)<->(T,B,·) transposes disappear
+    # (the kernels are time-major internally anyway).
+    time_major: bool = False
 
     @nn.compact
     def __call__(self, x, lengths):
-        B, T, D = x.shape
+        if self.time_major:
+            T, B, D = x.shape
+        else:
+            B, T, D = x.shape
         H = self.hidden
         wx = self.param("wx", nn.initializers.lecun_normal(), (D, 3 * H))
         wh = self.param("wh", nn.initializers.orthogonal(), (H, 3 * H))
         b = self.param("b", nn.initializers.zeros, (3 * H,))
+        mask = sequence_mask(lengths, T)           # (B, T)
 
+        if self.use_pallas:
+            # The kernels scan time in either direction natively, so the
+            # reverse GRU needs NO reverse_sequences gathers (measured
+            # ~4.8 ms per (128, 499, 1024) gather on v5e — they dominated
+            # the BiGRU wrapper cost).
+            cd = jnp.bfloat16 if self.bf16_kernel else x.dtype
+            x_t = x if self.time_major else jnp.transpose(x, (1, 0, 2))
+            mask_t = jnp.transpose(mask, (1, 0))[:, :, None].astype(
+                jnp.float32)
+            if self.fused_proj:
+                from tpuasr.ops.pallas_gru import gru_scan_xfused
+                ys = gru_scan_xfused(
+                    x_t.astype(cd), wx.astype(cd), b, wh.astype(cd),
+                    mask_t, self.reverse)
+            else:
+                from tpuasr.ops import gru_scan
+                # bf16 input projection: the (T*B, D) @ (D, 3H) matmul
+                # runs at the MXU's bf16 rate (2x f32); gate math is f32
+                # in-kernel either way.
+                xp = (x_t.reshape(T * B, D).astype(cd) @ wx.astype(cd)
+                      + b.astype(cd)).reshape(T, B, 3 * H)
+                ys = gru_scan(xp, wh.astype(cd), mask_t, self.reverse)
+            ys = ys.astype(x.dtype)
+            if self.time_major:
+                return ys * mask_t
+            return jnp.transpose(ys, (1, 0, 2)) * mask[:, :, None]
+
+        # lax.scan fallback (CPU / no-pallas): batch-major internally.
+        if self.time_major:
+            x = jnp.transpose(x, (1, 0, 2))
         if self.reverse:
             x = reverse_sequences(x, lengths)
 
-        if self.use_pallas and self.fused_proj:
-            from tpuasr.ops.pallas_gru import gru_scan_xfused
-            cd = jnp.bfloat16 if self.bf16_kernel else x.dtype
-            mask = sequence_mask(lengths, T)
-            ys = gru_scan_xfused(
-                jnp.transpose(x, (1, 0, 2)).astype(cd),
-                wx.astype(cd), b, wh.astype(cd),
-                jnp.transpose(mask, (1, 0))[:, :, None]
-                .astype(jnp.float32))
-            y = jnp.transpose(ys, (1, 0, 2)).astype(x.dtype)
-            if self.reverse:
-                y = reverse_sequences(y, lengths)
-            return y * mask[:, :, None]
-
         if self.bf16_kernel:
-            # bf16 input projection: the (B*T, D) @ (D, 3H) matmul runs at
-            # the MXU's bf16 rate (2x f32); gate math stays f32 in-kernel.
             xp = (x.reshape(B * T, D).astype(jnp.bfloat16)
                   @ wx.astype(jnp.bfloat16)
                   + b.astype(jnp.bfloat16)).reshape(B, T, 3 * H)
         else:
             xp = (x.reshape(B * T, D) @ wx + b).reshape(B, T, 3 * H)
-        mask = sequence_mask(lengths, T)
-
-        if self.use_pallas:
-            from tpuasr.ops import gru_scan
-            xp_t = jnp.transpose(xp, (1, 0, 2))
-            wh_k = wh
-            if self.bf16_kernel:
-                wh_k = wh.astype(jnp.bfloat16)
-            ys = gru_scan(xp_t, wh_k,
-                          jnp.transpose(mask, (1, 0))[:, :, None]
-                          .astype(jnp.float32))
-            y = jnp.transpose(ys, (1, 0, 2)).astype(x.dtype)
-            if self.reverse:
-                y = reverse_sequences(y, lengths)
-            return y * mask[:, :, None]
 
         def step(h, inp):
             xp_t, m_t = inp
@@ -154,7 +165,10 @@ class GRULayer(nn.Module):
         y = jnp.transpose(ys, (1, 0, 2))
         if self.reverse:
             y = reverse_sequences(y, lengths)
-        return y * mask[:, :, None]
+        y = y * mask[:, :, None]
+        if self.time_major:
+            return jnp.transpose(y, (1, 0, 2))
+        return y
 
 
 def reverse_sequences(x, lengths):
@@ -172,6 +186,7 @@ class BiGRU(nn.Module):
     use_pallas: bool = False
     bf16_kernel: bool = False
     fused_proj: bool = False
+    time_major: bool = False   # x/out are (T, B, ·); see GRULayer
     # One kernel advancing BOTH directions in lockstep: the two per-step
     # recurrent dots are independent, so the MXU pipelines one direction's
     # matmul under the other's VPU gate math. NOTE: different checkpoint
@@ -183,6 +198,8 @@ class BiGRU(nn.Module):
     def __call__(self, x, lengths):
         if self.fused_bidir:
             from tpuasr.ops.pallas_gru import gru_scan_bidir
+            if self.time_major:            # fused_bidir is batch-major
+                x = jnp.transpose(x, (1, 0, 2))
             B, T, D = x.shape
             H = self.hidden
             mk = lambda pre: (
@@ -209,14 +226,19 @@ class BiGRU(nn.Module):
             y_f = jnp.transpose(ysf, (1, 0, 2)).astype(x.dtype)
             y_b = reverse_sequences(
                 jnp.transpose(ysb, (1, 0, 2)).astype(x.dtype), lengths)
-            return (jnp.concatenate([y_f, y_b], axis=-1)
-                    * mask[:, :, None])
+            y = (jnp.concatenate([y_f, y_b], axis=-1)
+                 * mask[:, :, None])
+            if self.time_major:
+                return jnp.transpose(y, (1, 0, 2))
+            return y
         fwd = GRULayer(self.hidden, reverse=False, name="fwd",
                        use_pallas=self.use_pallas,
                        bf16_kernel=self.bf16_kernel,
-                       fused_proj=self.fused_proj)(x, lengths)
+                       fused_proj=self.fused_proj,
+                       time_major=self.time_major)(x, lengths)
         bwd = GRULayer(self.hidden, reverse=True, name="bwd",
                        use_pallas=self.use_pallas,
                        bf16_kernel=self.bf16_kernel,
-                       fused_proj=self.fused_proj)(x, lengths)
+                       fused_proj=self.fused_proj,
+                       time_major=self.time_major)(x, lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)

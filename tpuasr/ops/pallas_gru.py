@@ -32,13 +32,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def _pow2_floor(n: int) -> int:
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
+
+
 def _t_blk(B: int, H: int) -> int:
     """Frames per grid step, sized to the VMEM budget: the pipeline holds
     ~2x (double-buffered) xp (T_BLK, B, 3H) + ys (T_BLK, B, H) blocks plus
-    the resident (H, 3H) weights and scratch."""
+    the resident (H, 3H) weights and scratch. Rounded down to a power of
+    two (<=16) so any T padded to a multiple of 16 needs NO further time
+    padding regardless of the layer's D/H."""
     budget = 10 * 2 ** 20                      # leave headroom under 16 MB
     per_t = B * (4 * H) * 4 * 2                # xp + ys, double-buffered
-    return max(1, min(16, budget // max(per_t, 1)))
+    return _pow2_floor(max(1, min(16, budget // max(per_t, 1))))
 
 
 def _round_up(x, m):
@@ -52,12 +61,19 @@ def _gates(xp_t, hp, H):
     return r, z, n
 
 
-def _fwd_kernel(H, T_BLK, xp_ref, wh_ref, mask_ref, ys_ref, h_scr):
+def _fwd_kernel(H, T_BLK, reverse, xp_ref, wh_ref, mask_ref, ys_ref, h_scr):
+    """One grid step of the scan. With reverse=True the kernel consumes time
+    back-to-front (grid and in-block order both flipped): because padding is
+    trailing and mask freezes the (zero-initialized) state, this computes
+    exactly reverse_sequences(scan(reverse_sequences(x))) for every ragged
+    row — the right-to-left GRU — without any gather/reversal traffic."""
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
 
-    def body(tt, h):
+    def body(i, h):
+        tt = T_BLK - 1 - i if reverse else i
         # Cast the carried state to the weights' dtype for the dot: with
         # bf16 weights the MXU runs at 2x; accumulation stays f32.
         hp = jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
@@ -72,8 +88,12 @@ def _fwd_kernel(H, T_BLK, xp_ref, wh_ref, mask_ref, ys_ref, h_scr):
     h_scr[:] = jax.lax.fori_loop(0, T_BLK, body, h_scr[:])
 
 
-def _bwd_kernel(H, T_BLK, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
-                dxp_ref, dwh_ref, dh_scr, dwh_scr):
+def _bwd_kernel(H, T_BLK, reverse, xp_ref, ysp_ref, wh_ref, mask_ref,
+                dys_ref, dxp_ref, dwh_ref, dh_scr, dwh_scr):
+    """BPTT for one grid step. For a forward scan this walks t descending
+    (grid reversed outside); for a reversed scan the dependency chain runs
+    the other way, so BPTT walks t ascending with ysp = ys shifted left
+    (h 'previous' in scan order is h_{t+1})."""
     n_tb = pl.num_programs(0)
 
     @pl.when(pl.program_id(0) == 0)
@@ -82,7 +102,7 @@ def _bwd_kernel(H, T_BLK, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
         dwh_scr[:] = jnp.zeros_like(dwh_scr)
 
     def body(i, dh):
-        tt = T_BLK - 1 - i
+        tt = i if reverse else T_BLK - 1 - i
         h_prev32 = ysp_ref[tt].astype(jnp.float32)  # h_{t-1} (shifted ys)
         hp = jnp.dot(ysp_ref[tt].astype(wh_ref.dtype), wh_ref[:],
                      preferred_element_type=jnp.float32)
@@ -121,22 +141,22 @@ def _bwd_kernel(H, T_BLK, xp_ref, ysp_ref, wh_ref, mask_ref, dys_ref,
 
 @functools.lru_cache(maxsize=32)
 def _build_fwd(T: int, B: int, H: int, interpret: bool = False,
-               dtype: str = "float32"):
+               dtype: str = "float32", reverse: bool = False):
     T_BLK = _t_blk(B, H)
     n_tb = T // T_BLK
+    tmap = ((lambda t: (n_tb - 1 - t, 0, 0)) if reverse
+            else (lambda t: (t, 0, 0)))
     io = jnp.dtype(dtype)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H, T_BLK),
+        functools.partial(_fwd_kernel, H, T_BLK, reverse),
         grid=(n_tb,),
         in_specs=[
-            pl.BlockSpec((T_BLK, B, 3 * H), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 3 * H), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, B, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 1), tmap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T_BLK, B, H), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((T_BLK, B, H), tmap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), io),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
@@ -146,24 +166,27 @@ def _build_fwd(T: int, B: int, H: int, interpret: bool = False,
 
 @functools.lru_cache(maxsize=32)
 def _build_bwd(T: int, B: int, H: int, interpret: bool = False,
-               dtype: str = "float32"):
+               dtype: str = "float32", reverse: bool = False):
     T_BLK = _t_blk(B, H)
     n_tb = T // T_BLK
-    rev = lambda t: (n_tb - 1 - t, 0, 0)
+    # BPTT walks the scan's dependency chain backwards: grid descending for
+    # a forward scan, ascending for a reversed scan.
+    tmap = ((lambda t: (t, 0, 0)) if reverse
+            else (lambda t: (n_tb - 1 - t, 0, 0)))
     io = jnp.dtype(dtype)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, H, T_BLK),
+        functools.partial(_bwd_kernel, H, T_BLK, reverse),
         grid=(n_tb,),
         in_specs=[
-            pl.BlockSpec((T_BLK, B, 3 * H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 3 * H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, H), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, B, 1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 1), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, H), tmap, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((T_BLK, B, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 3 * H), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -198,40 +221,57 @@ def _pad_args(xp, wh, mask):
     return xp_p, wh_p, mask_p, (T, B, H)
 
 
-@jax.custom_vjp
-def gru_scan(xp, wh, mask):
-    """GRU over time. xp (T,B,3H), wh (H,3H), mask (T,B,1) -> ys (T,B,H)."""
-    return _gru_fwd_impl(xp, wh, mask)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gru_scan(xp, wh, mask, reverse=False):
+    """GRU over time. xp (T,B,3H), wh (H,3H), mask (T,B,1) -> ys (T,B,H).
+
+    reverse=True runs the right-to-left GRU on left-aligned ragged rows —
+    identical to reverse_sequences(gru_scan(reverse_sequences(xp))) but
+    with zero reversal/gather traffic (the kernel just walks t backwards;
+    trailing padding freezes the zero-initialized state until each row's
+    last valid frame).
+    """
+    return _gru_fwd_impl(xp, wh, mask, reverse)
 
 
-def _gru_fwd_impl(xp, wh, mask):
+def _gru_fwd_impl(xp, wh, mask, reverse=False):
     xp_p, wh_p, mask_p, (T, B, H) = _pad_args(xp, wh, mask)
     Tp, Bp, H3p = xp_p.shape
     ys = _build_fwd(Tp, Bp, H3p // 3,
                     jax.default_backend() != "tpu",
-                    str(xp.dtype))(xp_p, wh_p, mask_p)
+                    str(xp.dtype), reverse)(xp_p, wh_p, mask_p)
     return ys[:T, :B, :H]
 
 
-def _gru_fwd(xp, wh, mask):
-    ys = _gru_fwd_impl(xp, wh, mask)
+def _gru_fwd(xp, wh, mask, reverse):
+    ys = _gru_fwd_impl(xp, wh, mask, reverse)
     return ys, (xp, wh, mask, ys)
 
 
-def _gru_bwd(res, dys):
+def _gru_bwd(reverse, res, dys):
     xp, wh, mask, ys = res
     xp_p, wh_p, mask_p, (T, B, H) = _pad_args(xp, wh, mask)
     Tp, Bp, H3p = xp_p.shape
     Hp = H3p // 3
-    ys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(ys)
-    dys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(
-        dys.astype(ys.dtype))
-    # h_{t-1} stream: ys shifted right by one step.
-    ysp = jnp.concatenate(
-        [jnp.zeros((1, Bp, Hp), ys.dtype), ys_p[:-1]], axis=0)
+    if (Tp, Bp, Hp) == (T, B, H):
+        ys_p = ys
+        dys_p = dys.astype(ys.dtype)
+    else:
+        ys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(ys)
+        dys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(
+            dys.astype(ys.dtype))
+    # The 'previous state in scan order' stream: ys shifted right by one
+    # step for a forward scan (h_{t-1}), left by one for a reversed scan
+    # (h_{t+1}).
+    if reverse:
+        ysp = jnp.concatenate(
+            [ys_p[1:], jnp.zeros((1, Bp, Hp), ys.dtype)], axis=0)
+    else:
+        ysp = jnp.concatenate(
+            [jnp.zeros((1, Bp, Hp), ys.dtype), ys_p[:-1]], axis=0)
     dxp_p, dwh_p = _build_bwd(
-        Tp, Bp, Hp, jax.default_backend() != "tpu", str(xp.dtype))(
-            xp_p, ysp, wh_p, mask_p, dys_p)
+        Tp, Bp, Hp, jax.default_backend() != "tpu", str(xp.dtype),
+        reverse)(xp_p, ysp, wh_p, mask_p, dys_p)
     # Un-pad.
     dxp = jnp.concatenate(
         [dxp_p[:T, :B, g * Hp:g * Hp + H] for g in range(3)], axis=2)
@@ -520,11 +560,11 @@ def _t_blk_xf(B: int, D: int, H: int) -> int:
     fixed = (D * 3 * H + H * 3 * H) * 4        # resident wx + wh (<= f32)
     budget = max(2 ** 20, 12 * 2 ** 20 - fixed)
     per_t = B * (D + H) * 4 * 2 * 2            # x in + ys out, double-buf
-    return max(1, min(16, budget // max(per_t, 1)))
+    return _pow2_floor(max(1, min(16, budget // max(per_t, 1))))
 
 
-def _fwd_xf_kernel(H, T_BLK, x_ref, wx_ref, b_ref, wh_ref, mask_ref,
-                   ys_ref, h_scr):
+def _fwd_xf_kernel(H, T_BLK, reverse, x_ref, wx_ref, b_ref, wh_ref,
+                   mask_ref, ys_ref, h_scr):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
@@ -539,7 +579,8 @@ def _fwd_xf_kernel(H, T_BLK, x_ref, wx_ref, b_ref, wh_ref, mask_ref,
     # would need dynamic_slice — unimplemented in Mosaic (interpret mode
     # does not catch this; it compiled nowhere but CPU until unrolled).
     h = h_scr[:]
-    for tt in range(T_BLK):
+    order = range(T_BLK - 1, -1, -1) if reverse else range(T_BLK)
+    for tt in order:
         hp = jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
                      preferred_element_type=jnp.float32)
         r, z, n = _gates(xp[tt], hp, H)
@@ -552,26 +593,26 @@ def _fwd_xf_kernel(H, T_BLK, x_ref, wx_ref, b_ref, wh_ref, mask_ref,
 
 @functools.lru_cache(maxsize=32)
 def _build_fwd_xf(T: int, B: int, D: int, H: int, interpret: bool = False,
-                  dtype: str = "float32"):
+                  dtype: str = "float32", reverse: bool = False):
     T_BLK = _t_blk_xf(B, D, H)
     n_tb = T // T_BLK
+    tmap = ((lambda t: (n_tb - 1 - t, 0, 0)) if reverse
+            else (lambda t: (t, 0, 0)))
     io = jnp.dtype(dtype)
     return pl.pallas_call(
-        functools.partial(_fwd_xf_kernel, H, T_BLK),
+        functools.partial(_fwd_xf_kernel, H, T_BLK, reverse),
         grid=(n_tb,),
         in_specs=[
-            pl.BlockSpec((T_BLK, B, D), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, D), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 3 * H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, B, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 1), tmap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T_BLK, B, H), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((T_BLK, B, H), tmap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), io),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
@@ -601,10 +642,10 @@ def _t_blk_xfb(B: int, D: int, H: int) -> int:
     fixed = _xfb_resident_bytes(D, H)
     budget = max(2 ** 20, _XFB_RESIDENT_BUDGET - fixed)
     per_t = B * ((2 * D + 2 * H) * 2 + 2 * 3 * H) * 4
-    return max(1, min(16, budget // max(per_t, 1)))
+    return _pow2_floor(max(1, min(16, budget // max(per_t, 1))))
 
 
-def _bwd_xf_kernel(H, T_BLK, x_ref, ysp_ref, wx_ref, b_ref, wh_ref,
+def _bwd_xf_kernel(H, T_BLK, reverse, x_ref, ysp_ref, wx_ref, b_ref, wh_ref,
                    mask_ref, dys_ref, dx_ref, dwx_ref, db_ref, dwh_ref,
                    dh_scr):
     """Fully-fused BPTT for the projection-fused scan: xp is recomputed
@@ -632,7 +673,7 @@ def _bwd_xf_kernel(H, T_BLK, x_ref, ysp_ref, wx_ref, b_ref, wh_ref,
     dwh_acc = jnp.zeros_like(dwh_ref)
     dxps = [None] * T_BLK
     for i in range(T_BLK):
-        tt = T_BLK - 1 - i
+        tt = i if reverse else T_BLK - 1 - i
         h_prev = ysp_ref[tt].astype(jnp.float32)
         hp = jnp.dot(ysp_ref[tt].astype(wh_ref.dtype), wh_ref[:],
                      preferred_element_type=jnp.float32)
@@ -673,13 +714,14 @@ def _bwd_xf_kernel(H, T_BLK, x_ref, ysp_ref, wx_ref, b_ref, wh_ref,
 
 @functools.lru_cache(maxsize=32)
 def _build_bwd_xf(T: int, B: int, D: int, H: int, interpret: bool = False,
-                  dtype: str = "float32"):
+                  dtype: str = "float32", reverse: bool = False):
     T_BLK = _t_blk_xfb(B, D, H)
     n_tb = T // T_BLK
-    rev = lambda t: (n_tb - 1 - t, 0, 0)
+    rev = ((lambda t: (t, 0, 0)) if reverse
+           else (lambda t: (n_tb - 1 - t, 0, 0)))
     io = jnp.dtype(dtype)
     return pl.pallas_call(
-        functools.partial(_bwd_xf_kernel, H, T_BLK),
+        functools.partial(_bwd_xf_kernel, H, T_BLK, reverse),
         grid=(n_tb,),
         in_specs=[
             pl.BlockSpec((T_BLK, B, D), rev, memory_space=pltpu.VMEM),
@@ -713,8 +755,8 @@ def _build_bwd_xf(T: int, B: int, D: int, H: int, interpret: bool = False,
     )
 
 
-@jax.custom_vjp
-def gru_scan_xfused(x, wx, b, wh, mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gru_scan_xfused(x, wx, b, wh, mask, reverse=False):
     """GRU scan with in-kernel input projection.
 
     x (T, B, D), wx (D, 3H), b (3H,), wh (H, 3H), mask (T, B, 1)
@@ -724,17 +766,28 @@ def gru_scan_xfused(x, wx, b, wh, mask):
     dx/dWx/db in place (neither (T,B,3H) tensor ever exists in HBM);
     otherwise it falls back to an XLA xp recompute + plain BPTT kernel,
     which keeps every matmul at full MXU shape.
+
+    reverse=True is the right-to-left GRU on left-aligned ragged rows (see
+    gru_scan): no reversal/gather traffic in either direction.
     """
-    return _xf_impl(x, wx, b, wh, mask)
+    return _xf_impl(x, wx, b, wh, mask, reverse)
 
 
-def _xf_impl(x, wx, b, wh, mask):
+def _xf_impl(x, wx, b, wh, mask, reverse=False):
     T, B, D = x.shape
     H = wh.shape[0]
     Bp = _round_up(B, 8)
     Dp = _round_up(D, 128)
     Hp = _round_up(H, 128)
     Tp = _round_up(T, _t_blk_xf(Bp, Dp, Hp))
+    if (Tp, Bp, Dp, Hp) == (T, B, D, H):
+        # Aligned fast path: no pad/slice copies of the (T, B, D) stream.
+        # The serving stack pads T once at model level (multiple of 16;
+        # T_BLK is a power of two <= 16), so this is the hot path.
+        return _build_fwd_xf(T, B, D, H, jax.default_backend() != "tpu",
+                             str(x.dtype), reverse)(
+            x, wx, b.astype(jnp.float32)[None, :], wh,
+            mask.astype(jnp.float32))
     x_p = jnp.zeros((Tp, Bp, Dp), x.dtype).at[:T, :B, :D].set(x)
     wx_p = jnp.zeros((Dp, 3 * Hp), wx.dtype)
     b_p = jnp.zeros((1, 3 * Hp), jnp.float32)
@@ -751,25 +804,25 @@ def _xf_impl(x, wx, b, wh, mask):
         mask.astype(jnp.float32))
     ys = _build_fwd_xf(Tp, Bp, Dp, Hp,
                        jax.default_backend() != "tpu",
-                       str(x.dtype))(x_p, wx_p, b_p, wh_p, mask_p)
+                       str(x.dtype), reverse)(x_p, wx_p, b_p, wh_p, mask_p)
     return ys[:T, :B, :H]
 
 
-def _xf_fwd(x, wx, b, wh, mask):
-    ys = _xf_impl(x, wx, b, wh, mask)
+def _xf_fwd(x, wx, b, wh, mask, reverse):
+    ys = _xf_impl(x, wx, b, wh, mask, reverse)
     return ys, (x, wx, b, wh, mask, ys)
 
 
-def _xf_bwd(res, dys):
+def _xf_bwd(reverse, res, dys):
     x, wx, b, wh, mask, ys = res
     Dp = _round_up(x.shape[2], 128)
     Hp = _round_up(wh.shape[0], 128)
     if _xfb_resident_bytes(Dp, Hp) <= _XFB_RESIDENT_BUDGET:
-        return _xf_bwd_fused(res, dys)
-    return _xf_bwd_recompute(res, dys)
+        return _xf_bwd_fused(res, dys, reverse)
+    return _xf_bwd_recompute(res, dys, reverse)
 
 
-def _xf_bwd_fused(res, dys):
+def _xf_bwd_fused(res, dys, reverse=False):
     """Fully-fused BPTT: neither xp nor dxp ever exists in HBM. Used when
     wx/dwx/wh/dwh fit comfortably in VMEM (see _XFB_RESIDENT_BUDGET)."""
     x, wx, b, wh, mask, ys = res
@@ -779,25 +832,38 @@ def _xf_bwd_fused(res, dys):
     Dp = _round_up(D, 128)
     Hp = _round_up(H, 128)
     Tp = _round_up(T, _t_blk_xfb(Bp, Dp, Hp))
-    x_p = jnp.zeros((Tp, Bp, Dp), x.dtype).at[:T, :B, :D].set(x)
-    wx_p = jnp.zeros((Dp, 3 * Hp), wx.dtype)
-    b_p = jnp.zeros((1, 3 * Hp), jnp.float32)
-    wh_p = jnp.zeros((Hp, 3 * Hp), wh.dtype)
-    for g in range(3):
-        wx_p = wx_p.at[:D, g * Hp:g * Hp + H].set(wx[:, g * H:(g + 1) * H])
-        b_p = b_p.at[0, g * Hp:g * Hp + H].set(
-            b[g * H:(g + 1) * H].astype(jnp.float32))
-        wh_p = wh_p.at[:H, g * Hp:g * Hp + H].set(wh[:, g * H:(g + 1) * H])
-    mask_p = jnp.zeros((Tp, Bp, 1), jnp.float32).at[:T, :B].set(
-        mask.astype(jnp.float32))
-    ys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(ys)
-    dys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(
-        dys.astype(ys.dtype))
-    ysp = jnp.concatenate(
-        [jnp.zeros((1, Bp, Hp), ys.dtype), ys_p[:-1]], axis=0)
+    if (Tp, Bp, Dp, Hp) == (T, B, D, H):
+        x_p, wx_p, wh_p = x, wx, wh
+        b_p = b.astype(jnp.float32)[None, :]
+        mask_p = mask.astype(jnp.float32)
+        ys_p = ys
+        dys_p = dys.astype(ys.dtype)
+    else:
+        x_p = jnp.zeros((Tp, Bp, Dp), x.dtype).at[:T, :B, :D].set(x)
+        wx_p = jnp.zeros((Dp, 3 * Hp), wx.dtype)
+        b_p = jnp.zeros((1, 3 * Hp), jnp.float32)
+        wh_p = jnp.zeros((Hp, 3 * Hp), wh.dtype)
+        for g in range(3):
+            wx_p = wx_p.at[:D, g * Hp:g * Hp + H].set(
+                wx[:, g * H:(g + 1) * H])
+            b_p = b_p.at[0, g * Hp:g * Hp + H].set(
+                b[g * H:(g + 1) * H].astype(jnp.float32))
+            wh_p = wh_p.at[:H, g * Hp:g * Hp + H].set(
+                wh[:, g * H:(g + 1) * H])
+        mask_p = jnp.zeros((Tp, Bp, 1), jnp.float32).at[:T, :B].set(
+            mask.astype(jnp.float32))
+        ys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(ys)
+        dys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(
+            dys.astype(ys.dtype))
+    if reverse:
+        ysp = jnp.concatenate(
+            [ys_p[1:], jnp.zeros((1, Bp, Hp), ys.dtype)], axis=0)
+    else:
+        ysp = jnp.concatenate(
+            [jnp.zeros((1, Bp, Hp), ys.dtype), ys_p[:-1]], axis=0)
     dx_p, dwx_p, db_p, dwh_p = _build_bwd_xf(
-        Tp, Bp, Dp, Hp, jax.default_backend() != "tpu", str(x.dtype))(
-            x_p, ysp, wx_p, b_p, wh_p, mask_p, dys_p)
+        Tp, Bp, Dp, Hp, jax.default_backend() != "tpu", str(x.dtype),
+        reverse)(x_p, ysp, wx_p, b_p, wh_p, mask_p, dys_p)
     dx = dx_p[:T, :B, :D]
     dwx = jnp.concatenate(
         [dwx_p[:D, g * Hp:g * Hp + H] for g in range(3)], axis=1)
@@ -809,7 +875,7 @@ def _xf_bwd_fused(res, dys):
             dwh.astype(wh.dtype), None)
 
 
-def _xf_bwd_recompute(res, dys):
+def _xf_bwd_recompute(res, dys, reverse=False):
     """Large-H fallback: recompute xp once in XLA (one big MXU matmul) and
     reuse the plain BPTT kernel for dxp/dwh; dx/dwx/db are big XLA matmuls
     on the materialized dxp. Loses the HBM saving on xp/dxp (~2*(T,B,3H)
@@ -826,11 +892,15 @@ def _xf_bwd_recompute(res, dys):
     ys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(ys)
     dys_p = jnp.zeros((Tp, Bp, Hp), ys.dtype).at[:T, :B, :H].set(
         dys.astype(ys.dtype))
-    ysp = jnp.concatenate(
-        [jnp.zeros((1, Bp, Hp), ys.dtype), ys_p[:-1]], axis=0)
+    if reverse:
+        ysp = jnp.concatenate(
+            [ys_p[1:], jnp.zeros((1, Bp, Hp), ys.dtype)], axis=0)
+    else:
+        ysp = jnp.concatenate(
+            [jnp.zeros((1, Bp, Hp), ys.dtype), ys_p[:-1]], axis=0)
     dxp_p, dwh_p = _build_bwd(
-        Tp, Bp, Hp, jax.default_backend() != "tpu", str(xp.dtype))(
-            xp_p, ysp, wh_p, mask_p, dys_p)
+        Tp, Bp, Hp, jax.default_backend() != "tpu", str(xp.dtype),
+        reverse)(xp_p, ysp, wh_p, mask_p, dys_p)
     dxp = jnp.concatenate(
         [dxp_p[:T, :B, g * Hp:g * Hp + H] for g in range(3)],
         axis=2).astype(jnp.float32)
