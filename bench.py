@@ -63,23 +63,31 @@ def main() -> int:
     beam = get_beam_search("auto")
 
     @jax.jit
-    def pipeline(wav, wav_lens):
-        feats, flens = fz._featurize(wav, wav_lens)
+    def pipeline(variables, ftabs, wav, wav_lens):
+        # Weights/featurizer tables ride as jit ARGUMENTS: closing over
+        # multi-MB device constants permanently degrades dispatch on the
+        # axon TPU terminal (~2 ms + transfer-scaled cost per call on every
+        # later executable in the process).
+        feats, flens = fz._featurize(wav, wav_lens, tables=ftabs)
         logp, out_lens = model.apply(variables, feats, flens, train=False)
         out = beam(logp, out_lens, bs_cfg)
         return out["tokens"], out["token_lens"], out["scores"]
 
+    ftabs = getattr(fz, "tables", None)
     wav_d = jnp.asarray(wav)
     lens_d = jnp.asarray(wav_lens)
-    # Warmup / compile.
-    jax.block_until_ready(pipeline(wav_d, lens_d))
+    # Warmup / compile; np.asarray drain forces TRUE completion (under the
+    # axon terminal, block_until_ready can return before execution in its
+    # async-lazy mode — a host transfer drains the queue in every mode).
+    out = pipeline(variables, ftabs, wav_d, lens_d)
+    np.asarray(out[0][0, :1])
 
-    # Timed runs.
-    n_iter = 5
+    # Timed runs: queue n_iter executions, then drain once.
+    n_iter = 20
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = pipeline(wav_d, lens_d)
-    jax.block_until_ready(out)
+        out = pipeline(variables, ftabs, wav_d, lens_d)
+    np.asarray(out[0][0, :1])
     dt = (time.perf_counter() - t0) / n_iter
 
     audio_seconds = B * SECONDS
@@ -93,11 +101,11 @@ def main() -> int:
         from tpuasr.features.reference import num_frames
         from tpuasr.utils.profiling import (cost_analysis, gru_param_flops,
                                             roofline)
-        ca = cost_analysis(pipeline, wav_d, lens_d)
+        ca = cost_analysis(pipeline, variables, ftabs, wav_d, lens_d)
         corr = (gru_param_flops(variables["params"], B,
                                 -(-int(num_frames(feat_cfg, S)) // 2))
                 if on_tpu else 0.0)  # CPU path runs the XLA scan (counted)
-        rl = roofline(pipeline, (wav_d, lens_d), dt,
+        rl = roofline(pipeline, (variables, ftabs, wav_d, lens_d), dt,
                       flops=ca["flops"] + corr, bytes_accessed=ca["bytes"])
     except Exception as e:
         rl = {"error": str(e)}

@@ -85,12 +85,17 @@ def main(argv=None) -> int:
         batch[i, :len(w)] = w
 
     @jax.jit
-    def forward(wav, wav_lens):
-        feats, flens = fz._featurize(wav, wav_lens)
+    def forward(variables, tables, wav, wav_lens):
+        # Weights/tables ride as ARGUMENTS: a jit that closes over multi-MB
+        # device constants permanently degrades dispatch on the axon TPU
+        # terminal (~2 ms/call on every later executable).
+        feats, flens = fz._featurize(wav, wav_lens, tables=tables)
         logp, out_lens = model.apply(variables, feats, flens, train=False)
         return logp, out_lens, flens
 
-    logp, out_lens, feat_lens = forward(jnp.asarray(batch),
+    logp, out_lens, feat_lens = forward(variables,
+                                        getattr(fz, "tables", None),
+                                        jnp.asarray(batch),
                                         jnp.asarray(lens, dtype=jnp.int32))
     if args.dump_loglikes:
         import os

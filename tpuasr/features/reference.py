@@ -224,7 +224,10 @@ class Featurizer:
             parts.append(feat[:, idx, :])
         return jnp.concatenate(parts, axis=-1)
 
-    def _featurize(self, wav, lengths, dither_key=None):
+    def _featurize(self, wav, lengths, dither_key=None, tables=None):
+        # `tables` is accepted (and ignored) for interface parity with
+        # FusedFeaturizer: this path's constants are a few KB (window, mel
+        # filterbank), far below the axon constant-capture threshold.
         c = self.cfg
         if c.dither > 0.0 and dither_key is not None:
             wav = wav + c.dither * jax.random.normal(dither_key, wav.shape)

@@ -91,6 +91,13 @@ class StreamingRecognizer:
 
         self.reset()
 
+        # Params/tables are threaded through the jitted functions as
+        # ARGUMENTS: a jit that closes over multi-MB device constants
+        # permanently degrades dispatch on the axon TPU terminal
+        # (~2 ms/call on every subsequent executable in the process).
+        self._pw = {"p": p, "bs": bs}
+        self._ftabs = {"window": self._window, "cos": self._cos,
+                       "sin": self._sin, "mel": self._mel}
         self._feat_chunk = jax.jit(self._featurize_frames)
         self._conv1_apply = jax.jit(self._conv1)
         self._conv2_apply = jax.jit(self._conv2)
@@ -121,51 +128,52 @@ class StreamingRecognizer:
 
     # ---- pure compute pieces (jitted) ----
 
-    def _featurize_frames(self, frames):
+    def _featurize_frames(self, tabs, frames):
         """(T, win) -> (T, n_mels) log-mel (no CMVN)."""
         c = self.cfg
-        w = frames * self._window
-        re = w @ self._cos
-        im = w @ self._sin
+        w = frames * tabs["window"]
+        re = w @ tabs["cos"]
+        im = w @ tabs["sin"]
         power = re * re + im * im
-        mel = power @ self._mel
+        mel = power @ tabs["mel"]
         return jnp.log(jnp.maximum(mel, c.log_floor))
 
-    def _bn(self, x, scope):
-        sc = self.p[scope]["scale"]
-        bi = self.p[scope]["bias"]
-        mu = self.bs[scope]["mean"]
-        var = self.bs[scope]["var"]
+    @staticmethod
+    def _bn(pw, x, scope):
+        sc = pw["p"][scope]["scale"]
+        bi = pw["p"][scope]["bias"]
+        mu = pw["bs"][scope]["mean"]
+        var = pw["bs"][scope]["var"]
         return (x - mu) * jax.lax.rsqrt(var + 1e-5) * sc + bi
 
-    def _conv1(self, window):
+    def _conv1(self, pw, window):
         """window (Tw, F) covering full receptive fields -> (Tout, F', C)."""
-        k = self.p["conv1"]["kernel"]                      # (11, 41, 1, C)
+        k = pw["p"]["conv1"]["kernel"]                     # (11, 41, 1, C)
         x = window[None, :, :, None]
         y = jax.lax.conv_general_dilated(
             x, k, window_strides=(2, 2), padding=[(0, 0), (20, 20)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = self._bn(y, "conv1_bn")
+        y = self._bn(pw, y, "conv1_bn")
         return jax.nn.relu(y)[0]                           # (Tout, F', C)
 
-    def _conv2(self, window):
+    def _conv2(self, pw, window):
         """window (Tw, F', C) -> (Tout, F'', C)."""
-        k = self.p["conv2"]["kernel"]
+        k = pw["p"]["conv2"]["kernel"]
         x = window[None]
         y = jax.lax.conv_general_dilated(
             x, k, window_strides=(1, 2), padding=[(0, 0), (10, 10)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = self._bn(y, "conv2_bn")
+        y = self._bn(pw, y, "conv2_bn")
         return jax.nn.relu(y)[0]
 
-    def _rnn_head(self, frames, hs):
+    def _rnn_head(self, pw, frames, hs):
         """frames (T, D) conv output (flattened), hs: tuple of (H,) states.
         Returns (logp (T, C), new_hs)."""
         x = frames
         new_hs = []
         for i in range(self.n_layers):
-            x = self._bn(x, f"rnn{i}_bn")
-            prm = self.p[f"rnn{i}"]
+            x = self._bn(pw, x, f"rnn{i}_bn")
+            prm = pw["p"][f"rnn{i}"]
             wx, wh, b = prm["wx"], prm["wh"], prm["b"]
             H = wh.shape[0]
             xp = x @ wx + b
@@ -181,8 +189,9 @@ class StreamingRecognizer:
             h_fin, ys = jax.lax.scan(step, hs[i], xp)
             new_hs.append(h_fin)
             x = ys
-        x = self._bn(x, "head_bn")
-        logits = x @ self.p["head"]["kernel"] + self.p["head"]["bias"]
+        x = self._bn(pw, x, "head_bn")
+        logits = (x @ pw["p"]["head"]["kernel"]
+                  + pw["p"]["head"]["bias"])
         return jax.nn.log_softmax(logits, -1), tuple(new_hs)
 
     # ---- streaming driver ----
@@ -198,7 +207,7 @@ class StreamingRecognizer:
             idx = (np.arange(T)[:, None] * c.hop_length
                    + np.arange(c.win_length)[None, :])
             feats = np.asarray(self._feat_chunk(
-                jnp.asarray(self._samples[idx])))
+                self._ftabs, jnp.asarray(self._samples[idx])))
             self._samples = self._samples[T * c.hop_length:]
             self._buf1 = np.concatenate([self._buf1, feats], axis=0)
         return self._advance(final=False)
@@ -219,7 +228,8 @@ class StreamingRecognizer:
         n1 = len(self._buf1)
         n_out1 = max(0, (n1 - 11) // 2 + 1)
         if n_out1 > 0:
-            y1 = np.asarray(self._conv1_apply(jnp.asarray(self._buf1)))
+            y1 = np.asarray(self._conv1_apply(self._pw,
+                                  jnp.asarray(self._buf1)))
             y1 = y1[:n_out1]
             self._buf1 = self._buf1[n_out1 * 2:]
             if self._buf2 is None:
@@ -235,7 +245,8 @@ class StreamingRecognizer:
         n_out2 = max(0, n2 - 11 + 1)
         if n_out2 <= 0:
             return []
-        y2 = np.asarray(self._conv2_apply(jnp.asarray(self._buf2)))
+        y2 = np.asarray(self._conv2_apply(self._pw,
+                                  jnp.asarray(self._buf2)))
         y2 = y2[:n_out2]
         self._buf2 = self._buf2[n_out2:]
         frames = y2.reshape(n_out2, -1)
@@ -245,7 +256,8 @@ class StreamingRecognizer:
                 H = self.p[f"rnn{i}"]["wh"].shape[0]
                 hs.append(jnp.zeros((H,), jnp.float32))
             self._h = tuple(hs)
-        logp, self._h = self._rnn_apply(jnp.asarray(frames), self._h)
+        logp, self._h = self._rnn_apply(self._pw,
+                                jnp.asarray(frames), self._h)
         if self.keep_logp:
             self.logp_history.append(np.asarray(logp))
         if self.decode == "beam":
@@ -301,11 +313,15 @@ class BatchedStreamingRecognizer:
             self.beam_cfg = self._solo.beam_cfg
         self.lm_bigram = self._solo.lm_bigram
         self.lm_eos = self._solo.lm_eos
-        self._vfeat = jax.jit(jax.vmap(self._solo._featurize_frames))
-        self._vconv1 = jax.jit(jax.vmap(self._solo._conv1))
-        self._vconv2 = jax.jit(jax.vmap(self._solo._conv2))
+        self._vfeat = jax.jit(jax.vmap(self._solo._featurize_frames,
+                                       in_axes=(None, 0)))
+        self._vconv1 = jax.jit(jax.vmap(self._solo._conv1,
+                                        in_axes=(None, 0)))
+        self._vconv2 = jax.jit(jax.vmap(self._solo._conv2,
+                                        in_axes=(None, 0)))
         self._vrnn = jax.jit(jax.vmap(self._solo._rnn_head,
-                                      in_axes=(0, 0), out_axes=(0, 0)))
+                                      in_axes=(None, 0, 0),
+                                      out_axes=(0, 0)))
         self.reset()
 
     def reset(self):
@@ -366,7 +382,8 @@ class BatchedStreamingRecognizer:
             idx = (np.arange(T)[:, None] * c.hop_length
                    + np.arange(c.win_length)[None, :])
             frames = np.stack([self._samples[i][idx] for i in active])
-            feats = np.asarray(self._vfeat(jnp.asarray(frames)))
+            feats = np.asarray(self._vfeat(self._solo._ftabs,
+                               jnp.asarray(frames)))
             for j, i in enumerate(active):
                 self._samples[i] = self._samples[i][T * c.hop_length:]
                 self._buf1[i] = np.concatenate([self._buf1[i], feats[j]],
@@ -380,7 +397,8 @@ class BatchedStreamingRecognizer:
         if n_out1 > 0:
             w = min(len(self._buf1[i]) for i in active)
             win1 = np.stack([self._buf1[i][:w] for i in active])
-            y1 = np.asarray(self._vconv1(jnp.asarray(win1)))[:, :n_out1]
+            y1 = np.asarray(self._vconv1(self._solo._pw,
+                             jnp.asarray(win1)))[:, :n_out1]
             for j, i in enumerate(active):
                 self._buf1[i] = self._buf1[i][n_out1 * 2:]
                 if self._buf2[i] is None:
@@ -394,7 +412,8 @@ class BatchedStreamingRecognizer:
             return out
         w = min(len(self._buf2[i]) for i in active)
         win2 = np.stack([self._buf2[i][:w] for i in active])
-        y2 = np.asarray(self._vconv2(jnp.asarray(win2)))[:, :n_out2]
+        y2 = np.asarray(self._vconv2(self._solo._pw,
+                             jnp.asarray(win2)))[:, :n_out2]
         frames = y2.reshape(len(active), n_out2, -1)
         if self._h is None:
             hs = []
@@ -403,7 +422,8 @@ class BatchedStreamingRecognizer:
                 hs.append(jnp.zeros((self.n, H), jnp.float32))
             self._h = tuple(hs)
         h_act = tuple(h[jnp.asarray(active)] for h in self._h)
-        logp, new_h = self._vrnn(jnp.asarray(frames), h_act)
+        logp, new_h = self._vrnn(self._solo._pw,
+                         jnp.asarray(frames), h_act)
         act = jnp.asarray(active)
         self._h = tuple(hh.at[act].set(nh)
                         for hh, nh in zip(self._h, new_h))

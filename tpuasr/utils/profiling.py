@@ -8,21 +8,37 @@ import contextlib
 import time
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _drain(out) -> None:
+    """Force TRUE completion of everything queued on the device.
+
+    Under the axon TPU terminal, dispatch can run in an async-lazy mode
+    where jax.block_until_ready returns before execution finishes (measured:
+    a 23 ms AM step "completed" in 0.09 ms). A host transfer of any output
+    element drains the execution queue in every mode, so timings stay
+    honest. np.asarray on a small slice keeps the transfer itself cheap."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
 
 
 def time_fn(fn, *args, iters: int = 5, warmup: int = 1) -> float:
-    """Median-of-iters wall time of a device function (seconds)."""
-    for _ in range(warmup):
+    """Sustained per-call wall time (seconds): queue `iters` calls, then
+    drain with a host transfer, total/iters. Per-call sync would both pay
+    the terminal's per-dispatch RPC (~2 ms, dwarfing sub-ms kernels) and
+    be fooled by async-lazy mode (see _drain); queue-then-drain measures
+    the device-serialized execution rate in either mode."""
+    out = fn(*args)
+    for _ in range(max(0, warmup - 1)):
         out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
+    _drain(out)
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+    _drain(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def rtf_breakdown(featurize, am_forward, decode, wav, wav_lens,
