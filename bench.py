@@ -55,7 +55,7 @@ def main() -> int:
     wav = rng.standard_normal((B, S)).astype(np.float32) * 0.1
     wav_lens = np.full((B,), S, np.int32)
 
-    feats0, flens0 = fz._jit(jnp.asarray(wav), jnp.asarray(wav_lens))
+    feats0, flens0 = fz(jnp.asarray(wav), jnp.asarray(wav_lens))
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), feats0, flens0, train=False)
 

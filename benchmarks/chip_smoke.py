@@ -57,8 +57,8 @@ def main() -> int:
     wl = jnp.full((8,), 16000, jnp.int32)
 
     def feat_dev():
-        a, _ = Featurizer(fc)._jit(wav, wl)
-        b, _ = FusedFeaturizer(fc)._jit(wav, wl)
+        a, _ = Featurizer(fc)(wav, wl)
+        b, _ = FusedFeaturizer(fc)(wav, wl)
         return jnp.max(jnp.abs(a - b))
     check("fused_featurizer", feat_dev)
 

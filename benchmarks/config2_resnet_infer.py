@@ -29,12 +29,18 @@ def main():
 
     fz = Featurizer(FeatureConfig())
     model = create_model("resnet_ctc", num_classes=64)
-    feats0, flens0 = fz._jit(wav, lens)
+    feats0, flens0 = fz(wav, lens)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), feats0, flens0, train=False)
 
-    featurize = jax.jit(fz._featurize)
-    am = jax.jit(lambda f, fl: model.apply(variables, f, fl, train=False))
+    import functools
+
+    featurize = jax.jit(fz._featurize)   # plain-Featurizer tables are KBs
+    # Weights ride as a partial-bound ARGUMENT (not a jit-captured
+    # constant): capturing multi-MB constants permanently degrades
+    # dispatch on the axon terminal (see bench.py).
+    am_jit = jax.jit(lambda v, f, fl: model.apply(v, f, fl, train=False))
+    am = functools.partial(am_jit, variables)
     dec = jax.jit(greedy_decode)
 
     bd = rtf_breakdown(featurize, am, dec, wav, lens, B * SECONDS)

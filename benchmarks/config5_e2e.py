@@ -36,13 +36,20 @@ def main():
     model = create_model("deepspeech_ctc", num_classes=64,
                          pallas_gru=on_tpu, bf16_gru=on_tpu,
                          fused_proj=on_tpu)
-    feats0, flens0 = fz._jit(wav, lens)
+    feats0, flens0 = fz(wav, lens)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), feats0, flens0, train=False)
     bs_cfg = BeamSearchConfig(beam_width=8, class_topk=8, max_len=256)
 
-    featurize = jax.jit(fz._featurize)
-    am = jax.jit(lambda f, fl: model.apply(variables, f, fl, train=False))
+    import functools
+
+    # Weights/tables ride as partial-bound ARGUMENTS (not jit-captured
+    # constants): capturing multi-MB constants permanently degrades
+    # dispatch on the axon terminal (see bench.py).
+    feat_jit = jax.jit(lambda tb, w, l: fz._featurize(w, l, tables=tb))
+    featurize = functools.partial(feat_jit, getattr(fz, "tables", None))
+    am_jit = jax.jit(lambda v, f, fl: model.apply(v, f, fl, train=False))
+    am = functools.partial(am_jit, variables)
     beam = get_beam_search("auto")
     dec = jax.jit(lambda lp, ol: beam(lp, ol, bs_cfg)["tokens"])
 
@@ -54,10 +61,10 @@ def main():
                                             roofline)
         feats, flens = featurize(wav, lens)
         logp, _ = am(feats, flens)
-        ca = cost_analysis(am, feats, flens)
+        ca = cost_analysis(am_jit, variables, feats, flens)
         corr = gru_param_flops(variables["params"], B, int(logp.shape[1]))
         bd["am"]["roofline"] = roofline(
-            am, (feats, flens), bd["am"]["seconds"],
+            am_jit, (variables, feats, flens), bd["am"]["seconds"],
             flops=ca["flops"] + corr, bytes_accessed=ca["bytes"])
     detail(json.dumps(bd, indent=2))
     am_rl = bd["am"].get("roofline", {})

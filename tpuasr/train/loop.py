@@ -106,7 +106,7 @@ class Trainer:
 
     def init_state(self, sample_batch) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed)
-        feats, flens = self.featurizer._jit(
+        feats, flens = self.featurizer(
             jnp.asarray(sample_batch["wav"]),
             jnp.asarray(sample_batch["wav_lens"]))
         init_kwargs = {}
