@@ -35,6 +35,21 @@ def main() -> int:
     rng = np.random.default_rng(0)
     failures = []
 
+    import time as _time
+
+    def _queued_ms():
+        """Sustained ms/call of 50 queued small matmuls (drained)."""
+        mm = jax.jit(lambda a: a @ a)
+        x2 = jnp.ones((512, 512))
+        np.asarray(mm(x2))[0, 0]
+        t0 = _time.perf_counter()
+        for _ in range(50):
+            out = mm(x2)
+        np.asarray(out)[0, 0]
+        return (_time.perf_counter() - t0) / 50 * 1e3
+
+    dispatch_ms0 = _queued_ms()
+
     def check(name, fn, tol=None):
         try:
             dev = float(fn())
@@ -170,6 +185,46 @@ def main() -> int:
     check("pallas_beam", lambda: beam_dev(0), tol=5e-4)
     check("pallas_beam + bigram fusion", lambda: beam_dev(2), tol=5e-4)
     check("pallas_beam + trigram fusion", lambda: beam_dev(3), tol=5e-4)
+
+    # ---- dispatch health ----
+    # A jit that closes over a multi-MB device constant permanently flips
+    # the axon terminal into a degraded synchronous dispatch mode (~2 ms
+    # per call on EVERY later executable in the process). Everything above
+    # threads weights as arguments; this guard catches a regression: after
+    # a real training step (Trainer + fused featurizer + Pallas CTC/GRU),
+    # a trivial op must still dispatch fast.
+    import time as _time
+
+    def dispatch_health():
+        from tpuasr.data import make_synthetic_corpus, AudioLoader, LoaderConfig
+        import tempfile
+        from tpuasr.train import TrainConfig, Trainer
+        with tempfile.TemporaryDirectory() as td:
+            corpus = make_synthetic_corpus(td, num_utts=4, vocab_size=5)
+            loader = AudioLoader(corpus.manifest,
+                                 LoaderConfig(batch_size=4, max_label_len=8))
+            cfg = TrainConfig(model="deepspeech_ctc", num_classes=5,
+                              warmup_steps=1, fused_featurizer=True,
+                              ctc_impl="pallas",
+                              model_kwargs=dict(rnn_hidden=128, rnn_layers=1,
+                                                conv_channels=4,
+                                                pallas_gru=True))
+            trainer = Trainer(cfg, FeatureConfig(n_mels=32))
+            batch = loader.make_batch(loader.batch_plan(0)[0])
+            state = trainer.init_state(batch)
+            state, m = trainer.train_step(state, trainer._device_batch(batch),
+                                          trainer.feat_tables)
+            np.asarray(m["loss"])
+        # Self-relative queued-throughput probe: ambient tunnel latency
+        # varies between sessions, so compare against the SAME process's
+        # start-of-run baseline. A captured-constant regression multiplies
+        # sustained dispatch ~50-100x; allow generous ambient drift.
+        ms = _queued_ms()
+        print(f"  queued dispatch: start {dispatch_ms0:.3f} -> "
+              f"after train_step {ms:.3f} ms/call")
+        return 0.0 if ms < max(5.0 * dispatch_ms0, 1.0) else np.inf
+    check("dispatch health (no captured-constant poisoning)",
+          dispatch_health)
 
     print(("ALL PASS" if not failures else
            f"{len(failures)} FAILURES: {failures}"))

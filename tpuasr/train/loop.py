@@ -135,13 +135,23 @@ class Trainer:
 
     # ---- steps ----
 
-    def _loss_fn(self, params, batch_stats, batch, dropout_rng, train):
+    @property
+    def feat_tables(self):
+        """Featurizer device-array operands; thread through the jitted
+        steps as an ARGUMENT (never capture: multi-MB embedded constants
+        permanently degrade dispatch on the axon terminal — chip_smoke's
+        dispatch-health check guards this)."""
+        return getattr(self.featurizer, "tables", None)
+
+    def _loss_fn(self, params, batch_stats, batch, dropout_rng, train,
+                 ftabs=None):
         dither_key = None
         if train and self.feat_cfg.dither > 0 and dropout_rng is not None:
             dither_key = jax.random.fold_in(dropout_rng, 1)
         feats, flens = self.featurizer._featurize(batch["wav"],
                                                   batch["wav_lens"],
-                                                  dither_key)
+                                                  dither_key,
+                                                  tables=ftabs)
         if self.cfg.bf16_compute:
             feats = feats.astype(jnp.bfloat16)
         if self.cfg.objective == "ssvae_elbo":
@@ -234,12 +244,17 @@ class Trainer:
         return loss, (batch_stats, logp, flens)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: TrainState, batch: dict) -> tuple:
+    def train_step(self, state: TrainState, batch: dict,
+                   ftabs=None) -> tuple:
+        # ftabs: featurizer tables as a (non-donated) argument — pass
+        # Trainer.feat_tables; None falls back to capture (fine for the
+        # plain Featurizer's KB-scale tables, poisonous for the fused
+        # featurizer's MB-scale ones).
         rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 1),
                                  state.step)
         (loss, (new_stats, _, _)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(
-                state.params, state.batch_stats, batch, rng, True)
+                state.params, state.batch_stats, batch, rng, True, ftabs)
         updates, new_opt = self.optimizer.update(grads, state.opt_state,
                                                  state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -249,10 +264,11 @@ class Trainer:
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
     @partial(jax.jit, static_argnums=0)
-    def eval_step(self, state: TrainState, batch: dict) -> dict:
+    def eval_step(self, state: TrainState, batch: dict,
+                  ftabs=None) -> dict:
         loss, (_, logp, out_lens) = self._loss_fn(
             state.params, state.batch_stats, batch,
-            jax.random.PRNGKey(0), False)
+            jax.random.PRNGKey(0), False, ftabs)
         toks, tok_lens = greedy_decode(logp, out_lens)
         return {"loss": loss, "tokens": toks, "token_lens": tok_lens}
 
@@ -288,7 +304,8 @@ class Trainer:
             n_utts = 0
             for batch in train_loader:
                 dbatch = self._device_batch(batch)
-                state, m = self.train_step(state, dbatch)
+                state, m = self.train_step(state, dbatch,
+                                           self.feat_tables)
                 n_utts += int(batch["real"].sum())
                 step = int(state.step)
                 if step % cfg.log_every == 0:
@@ -321,7 +338,8 @@ class Trainer:
         tot_loss, n = 0.0, 0
         refs, hyps = [], []
         for batch in loader:
-            out = self.eval_step(state, self._device_batch(batch))
+            out = self.eval_step(state, self._device_batch(batch),
+                                 self.feat_tables)
             real = batch["real"]
             w = real.sum()
             tot_loss += float(out["loss"]) * w
