@@ -260,3 +260,32 @@ def test_batched_streaming_beam_matches_solo(setup, with_lm):
         bat.feed({2: w2[s:s + chunk]})
     got = bat.flush(2)
     assert got == solo_run(w2)
+
+
+def test_batched_fused_tick_matches_solo(setup):
+    """Regular lockstep (equal chunks, all slots) takes the fused
+    one-program tick; tokens must equal per-slot solo recognizers."""
+    from tpuasr.serve.streaming import BatchedStreamingRecognizer
+    fc, model, variables, wav, feats, flens = setup
+    rng = np.random.default_rng(7)
+    wavs = [wav,
+            np.asarray(0.5 * np.sin(2 * np.pi * 700 * np.arange(len(wav))
+                                    / 8000)
+                       + 0.1 * rng.standard_normal(len(wav)), np.float32),
+            np.asarray(0.2 * rng.standard_normal(len(wav)), np.float32)]
+
+    solos = []
+    for w in wavs:
+        sr = StreamingRecognizer(variables, fc)
+        sr.feed(w)
+        sr.flush()
+        solos.append(list(sr.tokens))
+
+    bat = BatchedStreamingRecognizer(variables, fc, n_streams=3)
+    chunk = 1600
+    for s in range(0, len(wav), chunk):
+        bat.feed({i: wavs[i][s:s + chunk] for i in range(3)})
+    assert bat._fstate is not None      # the fused path actually ran
+    for i in range(3):
+        bat.flush(i)
+    assert bat.tokens == solos, (bat.tokens, solos)

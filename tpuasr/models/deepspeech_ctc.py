@@ -27,6 +27,8 @@ class DeepSpeechCTC(nn.Module):
     axis_name: str | None = None   # for cross-device BN stats sync
     pallas_gru: bool = False       # VMEM-resident-weights GRU kernel
     bf16_gru: bool = False         # bf16 IO in the GRU kernel
+    bf16_conv: bool = False        # conv frontend compute in bf16 (params
+    #                                stay f32; BN statistics stay f32)
     fused_bidir: bool = False      # both directions in one kernel
     fused_proj: bool = False       # input projection inside the GRU kernel
     # Unidirectional stack for streaming/online serving (no backward pass
@@ -41,11 +43,13 @@ class DeepSpeechCTC(nn.Module):
     def __call__(self, feats, feat_lens, train: bool = False):
         # (B, T, F) -> NHWC (B, T, F, 1)
         x = feats[:, :, :, None]
+        cdt = jnp.bfloat16 if self.bf16_conv else None
         # DS2-style frontend: (time, freq) kernels, total time stride 2.
         pad1 = [(5, 5), (20, 20)] if self.explicit_pad else "SAME"
         pad2 = [(5, 5), (10, 10)] if self.explicit_pad else "SAME"
         x = nn.Conv(self.conv_channels, (11, 41), strides=(2, 2),
-                    padding=pad1, use_bias=False, name="conv1")(x)
+                    padding=pad1, use_bias=False, name="conv1",
+                    dtype=cdt)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          axis_name=self.axis_name, name="conv1_bn")(x)
         x = nn.relu(x)
@@ -54,7 +58,8 @@ class DeepSpeechCTC(nn.Module):
         tmask = sequence_mask(out_lens, x.shape[1])[:, :, None, None]
         x = x * tmask
         x = nn.Conv(self.conv_channels, (11, 21), strides=(1, 2),
-                    padding=pad2, use_bias=False, name="conv2")(x)
+                    padding=pad2, use_bias=False, name="conv2",
+                    dtype=cdt)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          axis_name=self.axis_name, name="conv2_bn")(x)
         x = nn.relu(x)

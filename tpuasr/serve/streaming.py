@@ -24,6 +24,8 @@ plus the chunk size.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -335,9 +337,13 @@ class BatchedStreamingRecognizer:
         self._beam_state = None          # (n,)-batched resumable beam state
         self.tokens = [[] for _ in range(self.n)]
         self.active = [False] * self.n
+        self._fused_ok = True            # regular lockstep so far
+        self._fstate = None              # device pytree for the fused tick
 
     def attach(self, slot: int):
         """(Re)start a stream in a slot."""
+        if self._fstate is not None:     # mid-stream (re)attach: irregular
+            self._defuse()
         c = self.cfg
         self._samples[slot] = np.zeros((0,), np.float32)
         self._buf1[slot] = np.zeros((5, c.n_mels), np.float32)
@@ -362,7 +368,20 @@ class BatchedStreamingRecognizer:
         by the minimum available frame count (remainders carry over), so
         feed every active slot each tick — an unfed active slot stalls the
         batch until it receives audio or is flushed.
+
+        Regular greedy ticks (every slot fed the same-size chunk, no
+        mid-stream attach) take the FUSED path: the whole tick — featurize,
+        both convs, the RNN stack, argmax — is ONE jitted program with all
+        inter-stage buffers device-resident and a single small host sync
+        for the emitted ids. The staged multi-dispatch path remains for
+        ragged feeds/flushes (each extra device sync costs ~80 ms under a
+        slow axon tunnel; per-slot eager device ops are even worse).
         """
+        if (self.decode == "greedy" and self._fused_ok
+                and set(chunks) == set(range(self.n))
+                and len({len(v) for v in chunks.values()}) == 1):
+            return self._fused_feed(chunks)
+        self._defuse()
         c = self.cfg
         for slot, samples in chunks.items():
             if not self.active[slot]:
@@ -389,6 +408,109 @@ class BatchedStreamingRecognizer:
                 self._buf1[i] = np.concatenate([self._buf1[i], feats[j]],
                                                axis=0)
         return self._advance(active)
+
+    # ---- fused single-program tick (regular greedy lockstep) ----
+
+    @partial(jax.jit, static_argnums=0)
+    def _fused_step(self, pw, ftabs, frames, buf1, buf2, h):
+        """One whole tick as ONE program. frames (N, Tf, win);
+        buf1 (N, c1, F) pending feature frames; buf2 (N, c2, F', C)
+        pending conv1 outputs; h: per-layer GRU states. Returns the new
+        buffers/states and the greedy ids for this tick's output frames
+        (possibly 0 frames early on). Shapes are static per (Tf, c1, c2)
+        combo — a handful of variants, cached by jit."""
+        solo = self._solo
+        feats = jax.vmap(solo._featurize_frames,
+                         in_axes=(None, 0))(ftabs, frames)
+        b1 = jnp.concatenate([buf1, feats], axis=1)
+        n1 = max(0, (b1.shape[1] - 11) // 2 + 1)
+        if n1 > 0:
+            y1 = jax.vmap(solo._conv1, in_axes=(None, 0))(pw, b1)
+            b1 = b1[:, n1 * 2:]
+            b2 = jnp.concatenate([buf2, y1], axis=1)
+        else:
+            b2 = buf2
+        n2 = max(0, b2.shape[1] - 11 + 1)
+        if n2 == 0:
+            N = frames.shape[0]
+            return b1, b2, h, jnp.zeros((N, 0), jnp.int32)
+        y2 = jax.vmap(solo._conv2, in_axes=(None, 0))(pw, b2)
+        b2 = b2[:, n2:]
+        fr = y2.reshape(y2.shape[0], n2, -1)
+        logp, new_h = jax.vmap(solo._rnn_head, in_axes=(None, 0, 0),
+                               out_axes=(0, 0))(pw, fr, h)
+        return b1, b2, new_h, jnp.argmax(logp, -1)
+
+    def _fused_feed(self, chunks: dict) -> dict:
+        c = self.cfg
+        solo = self._solo
+        for i in range(self.n):
+            if not self.active[i]:
+                self.attach(i)
+            self._samples[i] = np.concatenate(
+                [self._samples[i], np.asarray(chunks[i], np.float32)])
+        if self._fstate is None:
+            # Materialize the per-slot host buffers into batched device
+            # state (equal lengths by the regularity precondition).
+            import jax as _jax
+            F2 = _jax.eval_shape(
+                lambda w: solo._conv1(self._pw_shapes(), w),
+                jax.ShapeDtypeStruct((11, c.n_mels), jnp.float32)).shape
+            hs = tuple(jnp.zeros((self.n,
+                                  solo.p[f"rnn{li}"]["wh"].shape[0]),
+                                 jnp.float32)
+                       for li in range(solo.n_layers))
+            self._fstate = dict(
+                buf1=jnp.asarray(np.stack(self._buf1)),
+                buf2=jnp.zeros((self.n, 5) + F2[1:], jnp.float32),
+                h=hs)
+        n = len(self._samples[0])
+        T = max(0, 1 + (n - c.win_length) // c.hop_length)
+        out = {i: [] for i in range(self.n)}
+        if T == 0:
+            return out
+        idx = (np.arange(T)[:, None] * c.hop_length
+               + np.arange(c.win_length)[None, :])
+        frames = np.stack([self._samples[i][idx] for i in range(self.n)])
+        for i in range(self.n):
+            self._samples[i] = self._samples[i][T * c.hop_length:]
+        st = self._fstate
+        b1, b2, h, ids = self._fused_step(
+            self._pw, self._ftabs_dev(), jnp.asarray(frames),
+            st["buf1"], st["buf2"], st["h"])
+        self._fstate = dict(buf1=b1, buf2=b2, h=h)
+        ids = np.asarray(ids)                      # the tick's ONE sync
+        for i in range(self.n):
+            for t in ids[i]:
+                t = int(t)
+                if t != self.blank and t != self._prev[i]:
+                    out[i].append(t)
+                self._prev[i] = t
+            self.tokens[i].extend(out[i])
+        return out
+
+    def _pw_shapes(self):
+        return self._solo._pw
+
+    def _ftabs_dev(self):
+        return self._solo._ftabs
+
+    @property
+    def _pw(self):
+        return self._solo._pw
+
+    def _defuse(self):
+        """Materialize fused device state back into the per-slot host
+        buffers (one sync) and stay on the staged path from now on."""
+        if self._fstate is not None:
+            st = self._fstate
+            b1 = np.asarray(st["buf1"])
+            b2 = np.asarray(st["buf2"])
+            self._buf1 = [b1[i] for i in range(self.n)]
+            self._buf2 = [b2[i] for i in range(self.n)]
+            self._h = tuple(h for h in st["h"])
+            self._fstate = None
+        self._fused_ok = False
 
     def _advance(self, active: list) -> dict:
         out = {i: [] for i in active}
@@ -477,6 +599,7 @@ class BatchedStreamingRecognizer:
         FINAL hypothesis for the slot (matching the solo recognizer)."""
         if not self.active[slot]:
             return []
+        self._defuse()
         solo = self._solo
         solo.reset()
         solo._samples = self._samples[slot]
