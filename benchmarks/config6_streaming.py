@@ -47,32 +47,39 @@ def main():
         jax.random.PRNGKey(0), feats0, np.full((2,), 40, np.int32),
         train=False)
 
-    rec = BatchedStreamingRecognizer(variables, fc, n_streams=N_STREAMS)
     audio = rng.standard_normal((N_STREAMS, chunk * (TICKS + 3))).astype(
         np.float32) * 0.1
 
-    # Warmup: two ticks compile the per-tick programs.
-    for t in range(2):
-        rec.feed({i: audio[i, t * chunk:(t + 1) * chunk]
-                  for i in range(N_STREAMS)})
+    def measure(**rec_kw):
+        rec = BatchedStreamingRecognizer(variables, fc,
+                                         n_streams=N_STREAMS, **rec_kw)
+        # Warmup: two ticks compile the per-tick programs.
+        for t in range(2):
+            rec.feed({i: audio[i, t * chunk:(t + 1) * chunk]
+                      for i in range(N_STREAMS)})
+        lat = []
+        for t in range(2, 2 + TICKS):
+            tick = {i: audio[i, t * chunk:(t + 1) * chunk]
+                    for i in range(N_STREAMS)}
+            t0 = time.perf_counter()
+            rec.feed(tick)
+            lat.append(time.perf_counter() - t0)
+        lat = np.array(lat)
+        return float(np.median(lat)), float(np.quantile(lat, 0.95))
 
-    lat = []
-    for t in range(2, 2 + TICKS):
-        tick = {i: audio[i, t * chunk:(t + 1) * chunk]
-                for i in range(N_STREAMS)}
-        t0 = time.perf_counter()
-        rec.feed(tick)
-        lat.append(time.perf_counter() - t0)
-    lat = np.array(lat)
-    med, p95 = float(np.median(lat)), float(np.quantile(lat, 0.95))
+    med, p95 = measure()
     margin = (CHUNK_MS / 1e3) / med
-    detail(f"tick latency ms: median {med * 1e3:.2f}, p95 {p95 * 1e3:.2f} "
+    detail(f"greedy tick ms: median {med * 1e3:.2f}, p95 {p95 * 1e3:.2f} "
            f"({N_STREAMS} streams, {CHUNK_MS} ms chunks)")
+    bmed, bp95 = measure(decode="beam")
+    detail(f"beam tick ms:   median {bmed * 1e3:.2f}, p95 {bp95 * 1e3:.2f}")
     emit(6, "streaming_tick_ms_median", med * 1e3, "ms",
          n_streams=N_STREAMS, chunk_ms=CHUNK_MS,
          p95_ms=round(p95 * 1e3, 2),
          realtime_margin=round(margin, 1),
          streams_per_chip_at_realtime=int(N_STREAMS * margin),
+         beam_tick_ms=round(bmed * 1e3, 2),
+         beam_realtime_margin=round((CHUNK_MS / 1e3) / bmed, 1),
          backend=jax.default_backend())
 
 

@@ -289,3 +289,45 @@ def test_batched_fused_tick_matches_solo(setup):
     for i in range(3):
         bat.flush(i)
     assert bat.tokens == solos, (bat.tokens, solos)
+
+
+@pytest.mark.parametrize("with_lm", [False, True])
+def test_batched_fused_beam_matches_solo(setup, with_lm):
+    """Regular lockstep beam ticks take the fused one-program path (AM +
+    resumable search in one jit); hypotheses must equal solo beam."""
+    from tpuasr.decode import BeamSearchConfig
+    from tpuasr.serve.streaming import BatchedStreamingRecognizer
+    fc, model, variables, wav, feats, flens = setup
+    rng = np.random.default_rng(11)
+    wavs = [wav,
+            np.asarray(0.4 * np.sin(2 * np.pi * 900 * np.arange(len(wav))
+                                    / 8000)
+                       + 0.1 * rng.standard_normal(len(wav)), np.float32)]
+    cfg = BeamSearchConfig(beam_width=4, class_topk=4,
+                           lm_weight=0.3 if with_lm else 0.0)
+    kw = {}
+    if with_lm:
+        from tpuasr.lm import train_ngram
+        syms = [str(i) for i in range(6)]
+        lm = train_ngram([["1", "2", "3"], ["2", "3", "4"],
+                          ["3", "4", "5"]], order=2)
+        kw = dict(lm_bigram=lm.fusion_matrix(syms),
+                  lm_eos=lm.eos_vector(syms))
+
+    solos = []
+    for w in wavs:
+        sr = StreamingRecognizer(variables, fc, decode="beam",
+                                 beam_cfg=cfg, **kw)
+        for s in range(0, len(w), 1600):
+            sr.feed(w[s:s + 1600])
+        sr.flush()
+        solos.append(list(sr.tokens))
+
+    bat = BatchedStreamingRecognizer(variables, fc, n_streams=2,
+                                     decode="beam", beam_cfg=cfg, **kw)
+    for s in range(0, len(wav), 1600):
+        bat.feed({i: wavs[i][s:s + 1600] for i in range(2)})
+    assert bat._fstate is not None      # fused path ran
+    for i in range(2):
+        bat.flush(i)
+    assert bat.tokens == solos, (bat.tokens, solos)

@@ -377,7 +377,7 @@ class BatchedStreamingRecognizer:
         ragged feeds/flushes (each extra device sync costs ~80 ms under a
         slow axon tunnel; per-slot eager device ops are even worse).
         """
-        if (self.decode == "greedy" and self._fused_ok
+        if (self._fused_ok
                 and set(chunks) == set(range(self.n))
                 and len({len(v) for v in chunks.values()}) == 1):
             return self._fused_feed(chunks)
@@ -411,14 +411,11 @@ class BatchedStreamingRecognizer:
 
     # ---- fused single-program tick (regular greedy lockstep) ----
 
-    @partial(jax.jit, static_argnums=0)
-    def _fused_step(self, pw, ftabs, frames, buf1, buf2, h):
-        """One whole tick as ONE program. frames (N, Tf, win);
-        buf1 (N, c1, F) pending feature frames; buf2 (N, c2, F', C)
-        pending conv1 outputs; h: per-layer GRU states. Returns the new
-        buffers/states and the greedy ids for this tick's output frames
-        (possibly 0 frames early on). Shapes are static per (Tf, c1, c2)
-        combo — a handful of variants, cached by jit."""
+    def _fused_am(self, pw, ftabs, frames, buf1, buf2, h):
+        """The AM half of a fused tick (traced inside the jitted steps):
+        featurize + both convs + RNN stack. Returns the new buffers/state
+        and this tick's logp, or logp=None when no output frame's
+        receptive field is complete yet (static per-shape decision)."""
         solo = self._solo
         feats = jax.vmap(solo._featurize_frames,
                          in_axes=(None, 0))(ftabs, frames)
@@ -432,14 +429,51 @@ class BatchedStreamingRecognizer:
             b2 = buf2
         n2 = max(0, b2.shape[1] - 11 + 1)
         if n2 == 0:
-            N = frames.shape[0]
-            return b1, b2, h, jnp.zeros((N, 0), jnp.int32)
+            return b1, b2, h, None
         y2 = jax.vmap(solo._conv2, in_axes=(None, 0))(pw, b2)
         b2 = b2[:, n2:]
         fr = y2.reshape(y2.shape[0], n2, -1)
         logp, new_h = jax.vmap(solo._rnn_head, in_axes=(None, 0, 0),
                                out_axes=(0, 0))(pw, fr, h)
+        return b1, b2, new_h, logp
+
+    @partial(jax.jit, static_argnums=0)
+    def _fused_step(self, pw, ftabs, frames, buf1, buf2, h):
+        """One whole greedy tick as ONE program. frames (N, Tf, win);
+        buf1 (N, c1, F) pending feature frames; buf2 (N, c2, F', C)
+        pending conv1 outputs; h: per-layer GRU states. Returns the new
+        buffers/states and the greedy ids for this tick's output frames
+        (possibly 0 frames early on). Shapes are static per (Tf, c1, c2)
+        combo — a handful of variants, cached by jit."""
+        b1, b2, new_h, logp = self._fused_am(pw, ftabs, frames, buf1,
+                                             buf2, h)
+        if logp is None:
+            return b1, b2, new_h, jnp.zeros((frames.shape[0], 0),
+                                            jnp.int32)
         return b1, b2, new_h, jnp.argmax(logp, -1)
+
+    @partial(jax.jit, static_argnums=0)
+    def _fused_step_beam(self, pw, ftabs, lm, frames, buf1, buf2, h,
+                         bstate):
+        """One whole resumable-beam tick as ONE program: AM + the
+        stateful prefix beam search (with optional LM shallow fusion)
+        advance together; the only host sync per tick is the running
+        hypothesis. lm: {"bigram": ..., "eos": ...} (entries optional)."""
+        from tpuasr.decode.prefix_beam import ctc_beam_search
+        b1, b2, new_h, logp = self._fused_am(pw, ftabs, frames, buf1,
+                                             buf2, h)
+        if logp is None:
+            N = frames.shape[0]
+            return (b1, b2, new_h, bstate,
+                    jnp.full((N, 1, 1), -1, jnp.int32),
+                    jnp.zeros((N, 1), jnp.int32))
+        Tc = logp.shape[1]
+        res = ctc_beam_search(
+            logp, jnp.full((logp.shape[0],), Tc, jnp.int32),
+            self.beam_cfg, init_state=bstate, return_state=True,
+            lm_bigram=lm.get("bigram"), lm_eos=lm.get("eos"))
+        return (b1, b2, new_h, res["state"], res["tokens"],
+                res["token_lens"])
 
     def _fused_feed(self, chunks: dict) -> dict:
         c = self.cfg
@@ -475,6 +509,23 @@ class BatchedStreamingRecognizer:
         for i in range(self.n):
             self._samples[i] = self._samples[i][T * c.hop_length:]
         st = self._fstate
+        if self.decode == "beam":
+            from tpuasr.decode.prefix_beam import beam_init_state
+            if self._beam_state is None:
+                self._beam_state = beam_init_state(self.n, self.beam_cfg)
+            lm = {"bigram": self.lm_bigram, "eos": self.lm_eos}
+            b1, b2, h, bstate, toks, tlens = self._fused_step_beam(
+                self._pw, self._ftabs_dev(), lm, jnp.asarray(frames),
+                st["buf1"], st["buf2"], st["h"], self._beam_state)
+            self._fstate = dict(buf1=b1, buf2=b2, h=h)
+            self._beam_state = bstate
+            toks = np.asarray(toks)                # the tick's ONE sync
+            tlens = np.asarray(tlens)
+            if toks.shape[-1] > 1 or tlens.max() > 0:
+                for i in range(self.n):
+                    self.tokens[i] = toks[i, 0, :tlens[i, 0]].tolist()
+                    out[i] = list(self.tokens[i])
+            return out
         b1, b2, h, ids = self._fused_step(
             self._pw, self._ftabs_dev(), jnp.asarray(frames),
             st["buf1"], st["buf2"], st["h"])
