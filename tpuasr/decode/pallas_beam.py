@@ -82,11 +82,11 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
                  track_last2, *refs):
     have_lm = lm_order > 0
     if have_lm:
-        (lp_ref, lens_ref, lm_ref, parent_ref, char_ref, pb_out, pnb_out,
+        (lp_ref, lens_ref, lm_ref, bp_ref, pb_out, pnb_out,
          lm_out, last_out, last2_out, p_b, p_nb, h1, h2, last, plen,
          lm_acc, last2) = refs
     else:
-        (lp_ref, lens_ref, parent_ref, char_ref, pb_out, pnb_out,
+        (lp_ref, lens_ref, bp_ref, pb_out, pnb_out,
          lm_out, last_out, last2_out, p_b, p_nb, h1, h2, last, plen,
          lm_acc, last2) = refs
         lm_ref = None
@@ -328,9 +328,11 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
         plen[:] = jnp.where(livb, new_plen, cur_plen)
         if have_lm:
             lm_acc[:] = jnp.where(livb, new_lm, cur_lm)
-        parent_ref[tt] = jnp.where(livb, parents, lane_k)
-        char_ref[tt] = jnp.where(livb, chars,
-                                 jnp.full(chars.shape, -1, jnp.int32))
+        # Backpointers packed into ONE int32 stream (parent<<16 | char+1):
+        # halves the kernel's dominant VMEM/HBM output traffic, which is
+        # what lets b_blk reach 128 inside the scoped-VMEM budget.
+        bp_ref[tt] = jnp.where(livb, parents * 65536 + (chars + 1),
+                               lane_k * 65536)
         return 0
 
     jax.lax.fori_loop(0, t_blk_n, step, 0)
@@ -367,16 +369,13 @@ def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
         out_specs=[
             pl.BlockSpec((t_blk_n, B_BLK, LANES), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_blk_n, B_BLK, LANES), lambda b, t: (t, b, 0),
-                         memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec((B_BLK, LANES), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(5)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, Bp, LANES), jnp.int32),   # parent
-            jax.ShapeDtypeStruct((Tp, Bp, LANES), jnp.int32),   # char
+            jax.ShapeDtypeStruct((Tp, Bp, LANES), jnp.int32),   # packed bp
             jax.ShapeDtypeStruct((Bp, LANES), jnp.float32),     # p_b
             jax.ShapeDtypeStruct((Bp, LANES), jnp.float32),     # p_nb
             jax.ShapeDtypeStruct((Bp, LANES), jnp.float32),     # lm
@@ -393,6 +392,11 @@ def _build(Tp: int, Bp: int, C_pad: int, K: int, C: int, blank: int,
             pltpu.VMEM((B_BLK, LANES), jnp.float32),            # lm_acc
             pltpu.VMEM((B_BLK, LANES), jnp.int32),              # last2
         ],
+        # The kernel's live K x K join temps scale with b_blk; at
+        # b_blk=128 they exceed the compiler's conservative 16 MB scoped
+        # default (not the hardware VMEM size) — raise the cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -447,9 +451,9 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
         t_cap = max(8, t_cap // 2)
     if b_blk > B_BLK:
         # Streamed blocks scale with b_blk AND the kernel's live K x K join
-        # temps quadruple, so halve time twice per doubling: measured 20.7 MB
-        # scoped at (b_blk=128, t=32) vs the 16 MB limit; (128, 16) fits.
-        t_cap = max(8, (t_cap * B_BLK) // (2 * b_blk))
+        # temps quadruple, so shrink time quadratically per doubling: with
+        # packed backpointers (128, 8) fits the 16 MB scoped budget.
+        t_cap = max(8, (t_cap * B_BLK) // b_blk)   # 64 at b_blk=64
     t_blk_n = t_cap if T >= t_cap else max(1, _round_up(T, 8) // 1)
     Tp = _round_up(T, t_blk_n)
     C_pad = _round_up(C, LANES)
@@ -480,18 +484,18 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
         tab = tab.at[:R, :C].set(lm_trigram.reshape(R, C))
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
                       interpret, lm_w, 3, R_pad, True, b_blk)
-        parent, char, pb, pnb, lm, last, last2 = call(lp, lens, tab)
+        bp, pb, pnb, lm, last, last2 = call(lp, lens, tab)
     elif lm_bigram is not None:
         C1_pad = _round_up(C + 1, LANES)
         tab = jnp.zeros((C1_pad, C_pad), jnp.float32)
         tab = tab.at[:C + 1, :C].set(jnp.asarray(lm_bigram, jnp.float32))
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
                       interpret, lm_w, 2, C1_pad, track_last2, b_blk)
-        parent, char, pb, pnb, lm, last, last2 = call(lp, lens, tab)
+        bp, pb, pnb, lm, last, last2 = call(lp, lens, tab)
     else:
         call = _build(Tp, Bp, C_pad, K, C, cfg.blank, cfg.max_len, t_blk_n,
                       interpret, track_last2=track_last2, b_blk=b_blk)
-        parent, char, pb, pnb, lm, last, last2 = call(lp, lens)
+        bp, pb, pnb, lm, last, last2 = call(lp, lens)
 
     am = _logaddexp(pb[:B, :K], pnb[:B, :K])
     lm_k = lm[:B, :K]
@@ -507,16 +511,13 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
     lm_sc = jnp.take_along_axis(lm_k, beam_idx, axis=1)
 
     # ---- backpointer reconstruction: one reverse scan over T ----
-    parent = parent[:T, :B, :]                          # (T, B, LANES)
-    char = char[:T, :B, :]
+    bp = bp[:T, :B, :]                                  # (T, B, LANES)
 
-    def back(cur, inp):
-        par_t, chr_t = inp                              # (B, LANES)
-        c = jnp.take_along_axis(chr_t, cur, axis=1)     # (B, n_best)
-        p = jnp.take_along_axis(par_t, cur, axis=1)
-        return p, c
+    def back(cur, bp_t):
+        pk = jnp.take_along_axis(bp_t, cur, axis=1)     # (B, n_best)
+        return pk // 65536, pk % 65536 - 1
 
-    _, toks_rev = jax.lax.scan(back, beam_idx, (parent[::-1], char[::-1]))
+    _, toks_rev = jax.lax.scan(back, beam_idx, bp[::-1])
     toks_rev = jnp.transpose(toks_rev, (1, 2, 0))       # (B, n_best, T)
     toks = toks_rev[:, :, ::-1]                         # chronological
     # Left-compact non-(-1) entries into a max_len buffer.
