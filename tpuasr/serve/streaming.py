@@ -97,7 +97,9 @@ class StreamingRecognizer:
         # ARGUMENTS: a jit that closes over multi-MB device constants
         # permanently degrades dispatch on the axon TPU terminal
         # (~2 ms/call on every subsequent executable in the process).
-        self._pw = {"p": p, "bs": bs}
+        # device_put ONCE: checkpoints restore as numpy, and numpy args
+        # re-upload through the tunnel on EVERY call (~600 ms/tick).
+        self._pw = jax.device_put({"p": p, "bs": bs})
         self._ftabs = {"window": self._window, "cos": self._cos,
                        "sin": self._sin, "mel": self._mel}
         self._feat_chunk = jax.jit(self._featurize_frames)
@@ -116,6 +118,8 @@ class StreamingRecognizer:
         self._h = None             # per-layer GRU states
         self._prev_tok = self.blank
         self._beam_state = None
+        self._fstate = None        # device pytree for the fused chunk path
+        self._fused_ok = True
         self.tokens: list[int] = []
         # Greedy mode: model-output frame index at which each token in
         # ``tokens`` was first emitted (timestamps; stream.py --timestamps).
@@ -196,10 +200,86 @@ class StreamingRecognizer:
                   + pw["p"]["head"]["bias"])
         return jax.nn.log_softmax(logits, -1), tuple(new_hs)
 
+    # ---- fused single-program chunk (greedy) ----
+
+    @partial(jax.jit, static_argnums=0)
+    def _fused_solo_step(self, pw, ftabs, frames, buf1, buf2, h):
+        """One whole greedy chunk as ONE program (featurize -> convs ->
+        RNN -> argmax), all inter-stage buffers device-resident; the
+        driver syncs once per chunk for the emitted ids. Mirrors the
+        batched fused tick (see BatchedStreamingRecognizer)."""
+        feats = self._featurize_frames(ftabs, frames)
+        b1 = jnp.concatenate([buf1, feats], axis=0)
+        n1 = max(0, (b1.shape[0] - 11) // 2 + 1)
+        if n1 > 0:
+            y1 = self._conv1(pw, b1)
+            b1 = b1[n1 * 2:]
+            b2 = jnp.concatenate([buf2, y1], axis=0)
+        else:
+            b2 = buf2
+        n2 = max(0, b2.shape[0] - 11 + 1)
+        if n2 == 0:
+            return b1, b2, h, jnp.zeros((0,), jnp.int32)
+        y2 = self._conv2(pw, b2)
+        b2 = b2[n2:]
+        fr = y2.reshape(n2, -1)
+        logp, new_h = self._rnn_head(pw, fr, h)
+        return b1, b2, new_h, jnp.argmax(logp, -1)
+
+    def _solo_fused_feed(self, samples) -> list:
+        c = self.cfg
+        self._samples = np.concatenate(
+            [self._samples, np.asarray(samples, np.float32)])
+        n = len(self._samples)
+        T = max(0, 1 + (n - c.win_length) // c.hop_length)
+        if T == 0:
+            return []
+        if self._fstate is None:
+            F2 = jax.eval_shape(
+                lambda w: self._conv1(self._pw, w),
+                jax.ShapeDtypeStruct((11, c.n_mels), jnp.float32)).shape
+            hs = tuple(jnp.zeros((self.p[f"rnn{i}"]["wh"].shape[0],),
+                                 jnp.float32)
+                       for i in range(self.n_layers))
+            self._fstate = dict(buf1=jnp.asarray(self._buf1),
+                                buf2=jnp.zeros((5,) + F2[1:], jnp.float32),
+                                h=hs)
+        idx = (np.arange(T)[:, None] * c.hop_length
+               + np.arange(c.win_length)[None, :])
+        frames = self._samples[idx]
+        self._samples = self._samples[T * c.hop_length:]
+        st = self._fstate
+        b1, b2, h, ids = self._fused_solo_step(
+            self._pw, self._ftabs, jnp.asarray(frames),
+            st["buf1"], st["buf2"], st["h"])
+        self._fstate = dict(buf1=b1, buf2=b2, h=h)
+        emitted = []
+        for t in np.asarray(ids):                  # the chunk's ONE sync
+            t = int(t)
+            if t != self.blank and t != self._prev_tok:
+                emitted.append(t)
+                self.token_frames.append(self._out_frames)
+            self._prev_tok = t
+            self._out_frames += 1
+        self.tokens.extend(emitted)
+        return emitted
+
+    def _solo_defuse(self):
+        if self._fstate is not None:
+            st = self._fstate
+            self._buf1 = np.asarray(st["buf1"])
+            self._buf2 = np.asarray(st["buf2"])
+            self._h = st["h"]
+            self._fstate = None
+        self._fused_ok = False
+
     # ---- streaming driver ----
 
     def feed(self, samples) -> list:
         """Consume a chunk of samples; returns newly-emitted token ids."""
+        if self.decode == "greedy" and not self.keep_logp and self._fused_ok:
+            return self._solo_fused_feed(samples)
+        self._solo_defuse()
         c = self.cfg
         self._samples = np.concatenate(
             [self._samples, np.asarray(samples, np.float32)])
@@ -216,6 +296,7 @@ class StreamingRecognizer:
 
     def flush(self) -> list:
         """Signal end of stream; pads tails and returns remaining tokens."""
+        self._solo_defuse()
         c = self.cfg
         # Remaining samples shorter than a window are dropped (snip-edges),
         # matching the offline featurizer.

@@ -67,7 +67,12 @@ def load_for_inference(path) -> tuple[dict, dict]:
     variables = {"params": raw["params"]}
     if raw.get("batch_stats"):
         variables["batch_stats"] = raw["batch_stats"]
-    return variables, meta
+    # Place on device ONCE: msgpack restores numpy arrays, and numpy leaves
+    # passed as jit arguments re-upload through the axon tunnel on every
+    # call (measured ~600 ms per streaming tick before this).
+    import jax
+
+    return jax.device_put(variables), meta
 
 
 def checkpoint_step(path) -> int:
