@@ -43,11 +43,19 @@ def _round_up(x, m):
 
 def _fused_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref,
                   out_ref):
+    # precision=HIGHEST: the MXU's default f32 mode is bf16 passes, which
+    # moves low-energy log-mel values by ~0.3-0.6 after the log (the
+    # parity-critical path must be exact on hardware; see
+    # features/reference.py).
+    hi = jax.lax.Precision.HIGHEST
     w = frames_ref[0] * window_ref[:]                  # (T_BLK, win_pad)
-    re = jnp.dot(w, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(w, sin_ref[:], preferred_element_type=jnp.float32)
+    re = jnp.dot(w, cos_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
+    im = jnp.dot(w, sin_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
     power = re * re + im * im                          # (T_BLK, F_pad)
-    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
     out_ref[0] = mel                                   # (T_BLK, out_dim)
 
 

@@ -169,10 +169,17 @@ class Featurizer:
     def _power_spectrum(self, frames):
         """(B, T, win) -> (B, T, n_freqs) |rfft|^2 via two matmuls (MXU)."""
         w = frames * self._window
+        # precision=HIGHEST: at the TPU default the MXU runs these f32
+        # matmuls as bf16 passes, which moves log-mel values by ~0.5 —
+        # the parity-critical path (BASELINE config 1) must be exact on
+        # every backend. Cost is negligible (featurizer is ~3 ms of a
+        # ~45 ms pipeline; the fused Pallas kernel is exact by layout).
         re = jnp.einsum("btw,wf->btf", w, self._cos,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         im = jnp.einsum("btw,wf->btf", w, self._sin,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         return re * re + im * im
 
     def _to_features(self, power):
@@ -180,12 +187,14 @@ class Featurizer:
         if c.feature_type == "spectrogram":
             return jnp.log(jnp.maximum(power, c.log_floor))
         mel = jnp.einsum("btf,fm->btm", power, self._mel,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         logmel = jnp.log(jnp.maximum(mel, c.log_floor))
         if c.feature_type == "fbank":
             return logmel
         mfcc = jnp.einsum("btm,mc->btc", logmel, self._dct,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         if self._lifter is not None:
             mfcc = mfcc * self._lifter
         return mfcc
