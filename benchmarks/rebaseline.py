@@ -34,14 +34,31 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-# Parity fixtures are pinned to the deterministic CPU backend: TPU matmul
-# precision moves log-mel+CMVN values by up to ~0.3, which would mask real
-# convention drift. This must run before any backend use.
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-
 import numpy as np  # noqa: E402
+
+
+def _require_cpu_backend():
+    """Parity fixtures are pinned to the deterministic CPU backend: TPU
+    matmul precision moves log-mel+CMVN values by up to ~0.3, which would
+    mask real convention drift.
+
+    Guarded (advisor r2): an import-time ``jax.config.update`` silently
+    flipped any live TPU process that imported this module. Now the pin
+    happens only when backends are uninitialized; an initialized non-CPU
+    process gets a loud error instead of a silent backend switch.
+    """
+    import jax
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
+        if jax.default_backend() != "cpu":
+            raise RuntimeError(
+                "rebaseline fixtures require the deterministic CPU backend, "
+                f"but this process already initialized "
+                f"{jax.default_backend()!r}. Run benchmarks/rebaseline.py "
+                "in its own process (or before any backend use).")
+        return
+    jax.config.update("jax_platforms", "cpu")
 
 GOLDEN = REPO / "tests" / "data" / "golden"
 REFERENCE = Path("/root/reference")
@@ -76,6 +93,7 @@ def golden_ctc_problem():
 
 
 def compute_fixtures():
+    _require_cpu_backend()
     import jax.numpy as jnp
     from scipy.io import wavfile
 

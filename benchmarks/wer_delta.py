@@ -7,20 +7,27 @@ the deltas measurable today are decode-path deltas on a trained model:
   * beam XLA (device)       vs beam (C++ host, exact map merge)
   * beam Pallas (TPU default) vs beam XLA            — kernel parity at
     eval scale, not just unit shapes
-  * beam vs greedy TER on a held-out set             — beam should be <=
-  * LM-fused beam (bigram + trigram, on device) TER  — the TLG-grammar
+  * beam vs greedy WER on a held-out set             — beam should WIN
+  * LM-fused beam (bigram + trigram, on device)      — the TLG-grammar
     analog must HELP on an n-gram-structured corpus
 
-Trains a small DeepSpeech on a noisy Markov-structured tone corpus until it
-actually transcribes (imperfectly — the noise level leaves real errors for
-the LM to fix), then reports everything in ONE JSON line; --out writes the
-same record to a file (the per-round WERDELTA artifact). Re-point at real
-ASpIRE data + the PyTorch reference when /root/reference materializes
-(benchmarks/rebaseline.py).
+Round-3 redesign (VERDICT r2 item 2 — the round-2 harness could not resolve
+the 0.2% north star): >=300 eval utterances, a word LEXICON (scoring is
+word-level WER through ``LexiconDecoder``, not token error rate), confusable
+phone pairs + duration/frequency jitter + an SNR sweep so the acoustics are
+ambiguous enough that beam search measurably beats greedy BEFORE any LM, and
+every WER carries a binomial 95% confidence interval. ``--inject-bug``
+deliberately breaks the beam merge (logsumexp -> max, a classic subtle
+scoring bug) so tests can verify the harness actually detects such bugs.
+
+Reports ONE JSON line; --out writes the same record to a file (the per-round
+WERDELTA artifact). Re-point at real ASpIRE data + the PyTorch reference when
+/root/reference materializes (benchmarks/rebaseline.py).
 """
 
 import argparse
 import json
+import math
 import sys
 import tempfile
 from pathlib import Path
@@ -30,40 +37,63 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np  # noqa: E402
 
 
+def _ci95(err_rate: float, n: int) -> float:
+    """Binomial normal-approx 95% half-width on an error rate."""
+    p = min(max(err_rate, 0.0), 1.0)
+    return 1.96 * math.sqrt(p * (1.0 - p) / max(n, 1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="also write the JSON here")
-    ap.add_argument("--epochs", type=int, default=14)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--n-train", type=int, default=400)
+    ap.add_argument("--n-eval", type=int, default=320)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny sizes for unit tests (NOT the artifact)")
+    ap.add_argument("--inject-bug", action="store_true",
+                    help="break the XLA beam merge (logsumexp->max) to "
+                         "verify the harness detects scoring bugs")
     args = ap.parse_args()
+    if args.quick:
+        args.n_train, args.n_eval = 48, 24
+        args.epochs = min(args.epochs, 8)
 
     import jax
     import jax.numpy as jnp
 
     from tpuasr import native
-    from tpuasr.data import AudioLoader, LoaderConfig, make_synthetic_corpus
-    from tpuasr.decode import (BeamSearchConfig, ctc_beam_search,
-                               get_beam_search, greedy_decode)
+    from tpuasr.data import AudioLoader, LoaderConfig, make_word_corpus
+    from tpuasr.decode import (BeamSearchConfig, Lexicon, LexiconDecoder,
+                               SymbolTable, ctc_beam_search, get_beam_search,
+                               greedy_decode)
     from tpuasr.features import FeatureConfig
     from tpuasr.lm import train_ngram
     from tpuasr.train import TrainConfig, Trainer
     from tpuasr.utils.metrics import wer
 
+    V = 14                       # phone inventory incl. blank
     tmp = Path(tempfile.mkdtemp(prefix="werdelta_"))
-    mk = dict(vocab_size=6, min_tokens=2, max_tokens=5, markov=0.85,
-              noise=0.35)
-    train_c = make_synthetic_corpus(tmp / "train", num_utts=48, seed=11,
-                                    **mk)
-    eval_c = make_synthetic_corpus(tmp / "eval", num_utts=24, seed=23,
-                                   split="eval", **mk)
-    lcfg = LoaderConfig(batch_size=8, max_label_len=8)
+    mk = dict(vocab_size=V, num_words=40, words_per_utt=(3, 8),
+              pron_len=(2, 4), tone_ms=(80.0, 140.0), noise=(0.25, 0.6),
+              confusable_hz=35.0, freq_jitter_hz=10.0, markov=0.3)
+    train_c = make_word_corpus(tmp / "train", num_utts=args.n_train,
+                               seed=11, **mk)
+    eval_c = make_word_corpus(tmp / "eval", num_utts=args.n_eval, seed=23,
+                              split="eval", word_prons=train_c.word_prons,
+                              **mk)
+
+    max_label = 8 * 4            # words_per_utt max * pron_len max
+    lcfg = LoaderConfig(batch_size=16, max_label_len=max_label)
     train_loader = AudioLoader(train_c.manifest, lcfg)
     eval_loader = AudioLoader(eval_c.manifest,
-                              LoaderConfig(batch_size=8, max_label_len=8,
+                              LoaderConfig(batch_size=16,
+                                           max_label_len=max_label,
                                            shuffle=False))
-    cfg = TrainConfig(model="deepspeech_ctc", num_classes=6,
-                      model_kwargs=dict(rnn_hidden=64, rnn_layers=2,
-                                        conv_channels=8, dropout=0.0),
-                      lr=3e-3, num_epochs=args.epochs, warmup_steps=20,
+    cfg = TrainConfig(model="deepspeech_ctc", num_classes=V,
+                      model_kwargs=dict(rnn_hidden=96, rnn_layers=2,
+                                        conv_channels=16, dropout=0.0),
+                      lr=3e-3, num_epochs=args.epochs, warmup_steps=40,
                       log_every=10 ** 9)
     trainer = Trainer(cfg, FeatureConfig(n_mels=40))
     state = trainer.init_state(
@@ -74,10 +104,10 @@ def main():
             state, m = trainer.train_step(state, trainer._device_batch(batch))
     print(f"# final train loss {float(m['loss']):.3f}", file=sys.stderr)
 
-    # Bigram/trigram G trained from the TRAIN transcripts (the reference's
-    # grammar was likewise estimated from corpus text).
+    # Phone bigram/trigram G trained from the TRAIN transcripts (the
+    # reference's grammar was likewise estimated from corpus text).
     texts = [u.tokens for u in train_loader.utts]
-    syms = [str(i) for i in range(6)]
+    syms = [str(i) for i in range(V)]
     lm2 = train_ngram([[syms[t] for t in ts] for ts in texts], order=2)
     lm3 = train_ngram([[syms[t] for t in ts] for ts in texts], order=3)
 
@@ -88,9 +118,16 @@ def main():
         feats, flens = trainer.featurizer._featurize(wav, lens)
         return trainer.model.apply(variables, feats, flens, train=False)
 
-    bs_cfg = BeamSearchConfig(beam_width=8, class_topk=5, max_len=64)
+    if args.inject_bug:
+        # One-line beam-scoring bug: merge by MAX path probability instead
+        # of the logsumexp the CTC prefix recursion requires. The harness
+        # must move measurably under this, or it cannot see beam bugs.
+        import tpuasr.decode.prefix_beam as _pb
+        _pb._logaddexp = lambda a, b: jnp.maximum(a, b)
+
+    bs_cfg = BeamSearchConfig(beam_width=8, class_topk=6, max_len=64)
     lm_w = 0.5
-    fused_cfg = BeamSearchConfig(beam_width=8, class_topk=5, max_len=64,
+    fused_cfg = BeamSearchConfig(beam_width=8, class_topk=6, max_len=64,
                                  lm_weight=lm_w)
     big = lm2.fusion_matrix(syms)
     eos2 = lm2.eos_vector(syms)
@@ -99,7 +136,13 @@ def main():
     pallas_beam = get_beam_search("pallas")
 
     hyp = {k: [] for k in ("g", "bx", "bp", "f2", "f3", "hb", "hg")}
-    refs = []
+    refs = []            # phone-token references
+    word_refs = []       # word-id references
+    words = SymbolTable.load(train_c.words_txt)
+    phones = SymbolTable.from_list(train_c.vocab)
+    lex = Lexicon.load(train_c.lexicon, words, phones)
+    lexdec = LexiconDecoder(lex)
+    utt_by_id = {u.id: u for u in eval_loader.utts}
     use_native = native.available()
     for batch in eval_loader:
         logp, out_lens = forward(jnp.asarray(batch["wav"]),
@@ -117,12 +160,14 @@ def main():
         ol_np = np.asarray(out_lens, np.int32)
         if use_native:
             hb = native.ctc_beam_search_host(lp_np, ol_np, beam_width=8,
-                                             class_topk=5, max_len=64)
+                                             class_topk=6, max_len=64)
             hg_t, hg_l = native.ctc_greedy_host(lp_np, ol_np)
         for j in range(len(batch["real"])):
             if not batch["real"][j]:
                 continue
             refs.append(batch["tokens"][j][:batch["token_lens"][j]].tolist())
+            word_refs.append([words[w] for w in
+                              utt_by_id[batch["ids"][j]].text.split()])
             hyp["g"].append(np.asarray(g_t)[j][:int(g_l[j])].tolist())
             for k, o in outs.items():
                 hyp[k].append(np.asarray(o["tokens"])[j, 0]
@@ -133,19 +178,29 @@ def main():
                 hyp["hg"].append(hg_t[j][:hg_l[j]].tolist())
 
     ter = {k: wer(refs, v) for k, v in hyp.items() if v}
-    out = {"metric": "ter_delta_beam_vs_greedy",
-           "value": round(ter["bx"] - ter["g"], 4), "unit": "absolute",
-           "ter_greedy": round(ter["g"], 4),
-           "ter_beam_xla": round(ter["bx"], 4),
-           "ter_beam_pallas": round(ter["bp"], 4),
-           "ter_fused_bigram": round(ter["f2"], 4),
-           "ter_fused_trigram": round(ter["f3"], 4),
-           "lm_gain_bigram": round(ter["bx"] - ter["f2"], 4),
-           "lm_gain_trigram": round(ter["bx"] - ter["f3"], 4),
-           "pallas_vs_xla_agree": round(float(np.mean(
-               [a == b for a, b in zip(hyp["bp"], hyp["bx"])])), 4),
-           "n_eval_utts": len(refs),
-           "backend": jax.default_backend()}
+    # Word-level WER: phone hypotheses -> word sequences through the lexicon
+    # (the L of the reference's TLG), scored against the word transcripts.
+    n_words = sum(len(r) for r in word_refs)
+    wwer = {k: wer(word_refs, [lexdec.decode(h) for h in v])
+            for k, v in hyp.items() if v}
+    out = {"metric": "wer_delta_beam_vs_greedy",
+           "value": round(wwer["bx"] - wwer["g"], 4), "unit": "absolute",
+           "n_eval_utts": len(refs), "n_ref_words": n_words,
+           "wer_ci95": round(_ci95(wwer["g"], n_words), 4),
+           "backend": jax.default_backend(),
+           "injected_bug": bool(args.inject_bug)}
+    for k, name in (("g", "greedy"), ("bx", "beam_xla"), ("bp",
+                    "beam_pallas"), ("f2", "fused_bigram"),
+                    ("f3", "fused_trigram"), ("hb", "beam_cpp"),
+                    ("hg", "greedy_cpp")):
+        if k in wwer:
+            out[f"wer_{name}"] = round(wwer[k], 4)
+        if k in ter:
+            out[f"ter_{name}"] = round(ter[k], 4)
+    out["lm_gain_bigram"] = round(wwer["bx"] - wwer["f2"], 4)
+    out["lm_gain_trigram"] = round(wwer["bx"] - wwer["f3"], 4)
+    out["pallas_vs_xla_agree"] = round(float(np.mean(
+        [a == b for a, b in zip(hyp["bp"], hyp["bx"])])), 4)
     if hyp["hb"]:
         out["device_vs_cpp_greedy_agree"] = round(float(np.mean(
             [g == h for g, h in zip(hyp["g"], hyp["hg"])])), 4)

@@ -124,11 +124,15 @@ def main(argv=None) -> int:
                 # feature frames by (feat_len / out_len), feature frames
                 # stride the waveform by hop_length.
                 from tpuasr.features.reference import num_frames
-                T_feat = num_frames(feat_cfg, batch["wav"].shape[1])
                 hop = feat_cfg.hop_length
+                wav_lens = np.asarray(batch["wav_lens"])
                 for j in range(len(batch["real"])):
                     if not batch["real"][j] or not bool(al["feasible"][j]):
                         continue
+                    # Per-utterance feature length (NOT the padded bucket
+                    # width: at >=25% pad slack the rounded stride flips
+                    # 2->3 and every sample span inflates — advisor r2).
+                    T_feat = num_frames(feat_cfg, int(wav_lens[j]))
                     stride = max(1, round(T_feat / max(int(ol[j]), 1)))
                     segs = []
                     for u in range(int(batch["token_lens"][j])):

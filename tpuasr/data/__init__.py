@@ -11,11 +11,14 @@ device (tpuasr.features), so the loader only decodes wavs and pads.
 from tpuasr.data.manifest import Utterance, read_manifest, write_manifest
 from tpuasr.data.bucketing import BucketSpec, make_buckets
 from tpuasr.data.loader import AudioLoader, LoaderConfig
-from tpuasr.data.synthetic import SyntheticCorpus, make_synthetic_corpus
+from tpuasr.data.synthetic import (SyntheticCorpus, WordCorpus,
+                                   make_synthetic_corpus,
+                                   make_word_corpus)
 
 __all__ = [
     "Utterance", "read_manifest", "write_manifest",
     "BucketSpec", "make_buckets",
     "AudioLoader", "LoaderConfig",
-    "SyntheticCorpus", "make_synthetic_corpus",
+    "SyntheticCorpus", "WordCorpus", "make_synthetic_corpus",
+    "make_word_corpus",
 ]

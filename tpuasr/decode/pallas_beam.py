@@ -330,7 +330,9 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
             lm_acc[:] = jnp.where(livb, new_lm, cur_lm)
         # Backpointers packed into ONE int32 stream (parent<<16 | char+1):
         # halves the kernel's dominant VMEM/HBM output traffic, which is
-        # what lets b_blk reach 128 inside the scoped-VMEM budget.
+        # what lets b_blk=128 COMPILE inside the scoped-VMEM budget (the
+        # shipped cap stays 64 — measured faster; see the b_blk comment in
+        # the wrapper).
         bp_ref[tt] = jnp.where(livb, parents * 65536 + (chars + 1),
                                lane_k * 65536)
         return 0
@@ -433,9 +435,11 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
     B, T, C = log_probs.shape
     # Batch rows per program: the per-frame update's cost is dominated by
     # fixed-latency lane passes, so packing MORE utterances per tile is
-    # nearly free — b_blk=128 runs B=128 in ONE sequential b-block instead
-    # of four (measured 27 -> 9 ms at the headline shape). VMEM is held
-    # constant by shrinking the streamed time block in proportion.
+    # nearly free up to a point — b_blk=64 runs B=128 in TWO sequential
+    # b-blocks (measured 27 -> 9 ms at the headline shape going 32 -> 64).
+    # b_blk=128 compiles (32 MB scoped VMEM) but is SLOWER (35.9 ms: the
+    # VPU pass cost scales with rows past 64), so 64 is the measured cap.
+    # VMEM is held constant by shrinking the streamed time block.
     b_blk = min(64, _round_up(max(B, 8), 32))
     Bp = _round_up(B, b_blk)
     have_lm = lm_bigram is not None or lm_trigram is not None

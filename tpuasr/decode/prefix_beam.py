@@ -35,13 +35,17 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 NEG_INF = -1e30
-_H1_MUL = jnp.uint32(2654435761)   # Knuth multiplicative hashing
-_H2_MUL = jnp.uint32(40503)
-_H1_INIT = jnp.uint32(2166136261)  # FNV offset basis
-_H2_INIT = jnp.uint32(5381)        # djb2
+# numpy (NOT jnp) scalars: jnp constants at module scope are EAGER device
+# allocations at import time — they land on the process default device (the
+# TPU on the driver host) and break the dryrun's hermeticity guarantee.
+_H1_MUL = np.uint32(2654435761)   # Knuth multiplicative hashing
+_H2_MUL = np.uint32(40503)
+_H1_INIT = np.uint32(2166136261)  # FNV offset basis
+_H2_INIT = np.uint32(5381)        # djb2
 
 
 @dataclasses.dataclass(frozen=True)

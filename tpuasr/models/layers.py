@@ -132,7 +132,10 @@ class GRULayer(nn.Module):
                 ys = gru_scan(xp, wh.astype(cd), mask_t, self.reverse)
             ys = ys.astype(x.dtype)
             if self.time_major:
-                return ys * mask_t
+                # Cast the f32 kernel mask down: ys * f32 would promote the
+                # whole inter-layer stream to f32 and defeat the bf16
+                # end-to-end HBM saving (advisor r2).
+                return ys * mask_t.astype(ys.dtype)
             return jnp.transpose(ys, (1, 0, 2)) * mask[:, :, None]
 
         # lax.scan fallback (CPU / no-pallas): batch-major internally.

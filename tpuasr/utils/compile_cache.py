@@ -41,6 +41,12 @@ def enable_compilation_cache() -> str | None:
         # but the test suite's cost is exactly many small CPU programs.
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        # Bound on-disk growth: JAX's LRU eviction keeps the dir under 2 GB
+        # (advisor r2: with the thresholds above and no bound, the dir grew
+        # without limit). TPUASR_JAX_CACHE_MAX_MB overrides.
+        max_mb = int(os.environ.get("TPUASR_JAX_CACHE_MAX_MB", "2048"))
+        jax.config.update("jax_compilation_cache_max_size",
+                          max_mb * 1024 * 1024)
         _enabled = True
         return str(path)
     except Exception:  # pragma: no cover - cache is best-effort
