@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "--model-kwarg bidirectional=False for the "
                         "streaming variant; values parsed as python "
                         "literals when possible")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="host prefetch queue depth (0 = synchronous input "
+                        "pipeline on the step critical path)")
+    p.add_argument("--use-grain", action="store_true",
+                   help="route batches through the Grain pipeline "
+                        "(checkpointable mid-epoch iterator)")
+    p.add_argument("--grain-workers", type=int, default=0,
+                   help="Grain multiprocess workers (with --use-grain)")
     p.add_argument("--preset", action="store_true",
                    help="apply the model's central hyperparameter preset "
                         "(tpuasr.utils.params; reference asr/utils/params.py "
@@ -87,7 +95,8 @@ def main(argv=None) -> int:
         ckpt_dir=ckpt_dir, ckpt_every_steps=args.ckpt_every_steps,
         continue_from=args.continue_from, objective=args.objective,
         ctc_impl=args.ctc_impl, fused_featurizer=args.fused_featurizer,
-        model_kwargs=model_kwargs)
+        prefetch=args.prefetch, use_grain=args.use_grain,
+        grain_workers=args.grain_workers, model_kwargs=model_kwargs)
     # Preset fills fields the user left at parser defaults; explicit wins.
     defaults = build_parser()
     for k, v in train_overrides.items():

@@ -59,7 +59,29 @@ def add_lm_flags(p: argparse.ArgumentParser):
                         "Pallas kernel), 3 = full trigram on device (XLA "
                         "search path; table grows as C^3 — phone-scale "
                         "inventories)")
+    g.add_argument("--fst", type=str, default=None,
+                   help="OpenFst TEXT-format WFST (fstprint output, e.g. a "
+                        "Kaldi TLG printed with fstprint) for host n-best "
+                        "rescoring/transduction; ilabels = unit ids "
+                        "(0 = <eps>)")
+    g.add_argument("--fst-weight", type=float, default=1.0,
+                   help="weight on the FST log-prob (minus tropical cost)")
+    g.add_argument("--fst-isyms", type=str, default=None,
+                   help="input symbol table for string-labeled FST text")
+    g.add_argument("--fst-osyms", type=str, default=None,
+                   help="output symbol table (words.txt) — transduced "
+                        "outputs are printed through it")
     return p
+
+
+def load_fst(args):
+    """(WFST, output SymbolTable | None) from --fst flags, or (None, None)."""
+    if not getattr(args, "fst", None):
+        return None, None
+    from tpuasr.decode import SymbolTable, WFST
+    isyms = (SymbolTable.load(args.fst_isyms) if args.fst_isyms else None)
+    osyms = (SymbolTable.load(args.fst_osyms) if args.fst_osyms else None)
+    return WFST.load_text(args.fst, isyms=isyms, osyms=osyms), osyms
 
 
 def fusion_tables(lm, syms: list[str], order: int) -> dict:

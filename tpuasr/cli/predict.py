@@ -116,7 +116,11 @@ def main(argv=None) -> int:
     if lm is not None and not args.beam:
         raise SystemExit("--lm requires --beam (the LM applies to beam "
                          "hypotheses)")
+    if getattr(args, "fst", None) and not args.beam:
+        raise SystemExit("--fst requires --beam (the WFST rescores beam "
+                         "hypotheses)")
     n_best = max(1, args.nbest) if args.beam else 1
+    fst_outs = fst_osyms = None
     if args.beam:
         cfg = BeamSearchConfig(beam_width=max(args.beam_width, n_best),
                                class_topk=args.class_topk,
@@ -132,9 +136,10 @@ def main(argv=None) -> int:
             from tpuasr.cli.common import fusion_tables
             beam_kwargs = fusion_tables(lm, syms, args.lm_fusion_order)
         rescore = lm is not None and not args.lm_fusion
+        from tpuasr.cli.common import load_fst, run_beam_search
+        fst, fst_osyms = load_fst(args)
         # Rescoring re-ranks the WHOLE beam, then keeps the top n_best.
-        search_n = cfg.beam_width if rescore else n_best
-        from tpuasr.cli.common import run_beam_search
+        search_n = cfg.beam_width if (rescore or fst) else n_best
         out = run_beam_search(impl, logp, out_lens, cfg, n_best=search_n,
                               **beam_kwargs)
         toks = np.asarray(out["tokens"])
@@ -145,10 +150,21 @@ def main(argv=None) -> int:
             from tpuasr.lm import rescore_nbest
             scores = rescore_nbest(lm, toks, tok_lens, scores, syms,
                                    lm_weight=args.lm_weight)
+        fst_outs = None
+        if fst is not None:
+            # WFST n-best rescoring/transduction (an OpenFst graph supplied
+            # as data — the reference's TLG artifact path, SURVEY.md 3.4).
+            from tpuasr.decode import rescore_nbest_fst
+            scores, fst_outs = rescore_nbest_fst(
+                fst, toks, tok_lens, scores, fst_weight=args.fst_weight)
+        if rescore or fst is not None:
             order = np.argsort(-scores, axis=1)
             toks = np.take_along_axis(toks, order[:, :, None], axis=1)
             tok_lens = np.take_along_axis(tok_lens, order, axis=1)
             scores = np.take_along_axis(scores, order, axis=1)
+            if fst_outs is not None:
+                fst_outs = [[fst_outs[b][j] for j in order[b]]
+                            for b in range(len(fst_outs))]
         toks, tok_lens = toks[:, :n_best], tok_lens[:, :n_best]
         scores = scores[:, :n_best]
     else:
@@ -181,7 +197,12 @@ def main(argv=None) -> int:
     for i, path in enumerate(args.wavs):
         for n in range(n_best):
             seq = toks[i, n][:tok_lens[i, n]].tolist()
-            if word_dec is not None:
+            if fst_outs is not None and fst_outs[i][n]:
+                # FST transduction output (word ids through --fst-osyms).
+                text = " ".join(
+                    fst_osyms.sym(w) if fst_osyms is not None else str(w)
+                    for w in fst_outs[i][n])
+            elif word_dec is not None:
                 text = " ".join(words.sym(w) for w in word_dec.decode(seq))
             else:
                 text = tokens_to_text(seq, units)

@@ -92,6 +92,11 @@ def main(argv=None) -> int:
     if lm is not None and not args.beam:
         raise SystemExit("--lm requires --beam (the LM applies to beam "
                          "hypotheses)")
+    from tpuasr.cli.common import load_fst
+    fst, _fst_osyms = load_fst(args)
+    if fst is not None and not args.beam:
+        raise SystemExit("--fst requires --beam (the WFST rescores beam "
+                         "hypotheses)")
     syms = lm_symbols(units, num_classes)
     word_dec, words = make_word_decoder(args)
     utt_text = {u.id: u.text for u in loader.utts}
@@ -163,14 +168,20 @@ def main(argv=None) -> int:
             from tpuasr.cli.common import run_beam_search
             out = run_beam_search(
                 impl, logp, out_lens, cfg,
-                n_best=cfg.beam_width if rescore else 1, **beam_kwargs)
+                n_best=cfg.beam_width if (rescore or fst) else 1,
+                **beam_kwargs)
             toks_nb = np.asarray(out["tokens"])
             lens_nb = np.asarray(out["token_lens"])
+            sc = np.asarray(out["scores"])
             if rescore:
                 from tpuasr.lm import rescore_nbest
-                sc = rescore_nbest(lm, toks_nb, lens_nb,
-                                   np.asarray(out["scores"]), syms,
+                sc = rescore_nbest(lm, toks_nb, lens_nb, sc, syms,
                                    lm_weight=args.lm_weight)
+            if fst is not None:
+                from tpuasr.decode import rescore_nbest_fst
+                sc, _ = rescore_nbest_fst(fst, toks_nb, lens_nb, sc,
+                                          fst_weight=args.fst_weight)
+            if rescore or fst is not None:
                 best = np.argmax(sc, axis=1)
                 rows = np.arange(len(best))
                 toks, tok_lens = toks_nb[rows, best], lens_nb[rows, best]
