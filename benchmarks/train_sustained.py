@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Sustained end-to-end training demonstration (VERDICT r2 item 7).
+
+One scripted run on the default backend (the real chip under axon):
+  * trains DeepSpeech on the round-3 word corpus for --epochs epochs with
+    the prefetching input pipeline, logging utt/s per epoch (sustained
+    epoch throughput, not isolated step time);
+  * saves a checkpoint mid-run, then RESUMES from it in a fresh Trainer
+    and verifies the resumed final params are bit-identical to the
+    uninterrupted run (exact-order deterministic resume);
+  * evaluates dev token-error-rate each epoch and reports the final value;
+  * re-runs a short version of the same config on a subprocess-hermetic
+    8-device CPU mesh vs 1 device and asserts final params bit-equal (the
+    DP equality property over a full run, not one step).
+
+Emits ONE JSON line; --out writes the same record (TRAIN_r03 artifact).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def build(tmp, n_train, n_dev):
+    from tpuasr.data import make_word_corpus
+    mk = dict(vocab_size=14, num_words=40, words_per_utt=(3, 8),
+              pron_len=(2, 4), tone_ms=(80.0, 140.0), noise=(0.25, 0.6),
+              confusable_hz=35.0, freq_jitter_hz=10.0, markov=0.3)
+    tr = make_word_corpus(tmp / "train", num_utts=n_train, seed=11, **mk)
+    dv = make_word_corpus(tmp / "dev", num_utts=n_dev, seed=29, split="dev",
+                          word_prons=tr.word_prons, **mk)
+    return tr, dv
+
+
+def make_trainer(ckpt_dir, epochs, continue_from=None):
+    from tpuasr.features import FeatureConfig
+    from tpuasr.train import TrainConfig, Trainer
+    cfg = TrainConfig(model="deepspeech_ctc", num_classes=14,
+                      model_kwargs=dict(rnn_hidden=96, rnn_layers=2,
+                                        conv_channels=16, dropout=0.0),
+                      lr=3e-3, num_epochs=epochs, warmup_steps=40,
+                      log_every=10 ** 9, ckpt_dir=ckpt_dir,
+                      ckpt_every_steps=10 ** 9, continue_from=continue_from)
+    return Trainer(cfg, FeatureConfig(n_mels=40))
+
+
+def run_epochs(trainer, loader, state, lo, hi, utt_rates):
+    """fit()'s inner loop with per-epoch wall-clock throughput capture."""
+    for epoch in range(lo, hi):
+        t0 = time.perf_counter()
+        n_utts = 0
+        for n_real, dbatch in trainer._epoch_batches(loader, epoch):
+            state, m = trainer.train_step(state, dbatch,
+                                          trainer.feat_tables)
+            n_utts += n_real
+        # One sync per epoch: make the epoch's device work actually finish
+        # before the clock stops (honest utt/s under async dispatch).
+        float(m["loss"])
+        utt_rates.append(round(n_utts / (time.perf_counter() - t0), 1))
+    return state, m
+
+
+_CHILD_CODE = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from benchmarks.train_sustained import build, make_trainer, run_epochs
+from pathlib import Path
+from tpuasr.data import AudioLoader, LoaderConfig
+from tpuasr.parallel import make_mesh
+import tempfile
+tmp = Path(tempfile.mkdtemp(prefix="train_mesh_"))
+tr, dv = build(tmp, 32, 8)
+lcfg = LoaderConfig(batch_size=16, max_label_len=32)
+outs = []
+for n_dev in (1, 8):
+    loader = AudioLoader(tr.manifest, lcfg)
+    t = make_trainer(None, 2)
+    t.mesh = make_mesh(n_data=n_dev, n_model=1,
+                       devices=jax.devices("cpu")[:n_dev])
+    state = t.init_state(loader.make_batch(loader.batch_plan(0)[0]))
+    state, _ = run_epochs(t, loader, state, 0, 2, [])
+    outs.append(jax.device_get(state.params))
+for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
+                jax.tree_util.tree_leaves(outs[1])):
+    np.testing.assert_array_equal(a, b)
+print("MESH_EQUAL")
+"""
+
+
+def mesh_equality_subprocess() -> bool:
+    """1-device vs 8-device CPU mesh, full 2-epoch run, params bit-equal —
+    in a hermetic subprocess (same scrubbing rules as dryrun_multichip)."""
+    sys.path.insert(0, str(REPO))
+    import __graft_entry__ as ge
+    env = ge._child_env(8)
+    env.pop("TPUASR_DRYRUN_INPROC")
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD_CODE.format(repo=str(REPO))],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
+    ok = proc.returncode == 0 and "MESH_EQUAL" in proc.stdout
+    if not ok:
+        print(proc.stderr[-2000:], file=sys.stderr)
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--resume-at", type=int, default=None,
+                    help="epoch boundary to checkpoint+resume from "
+                         "(default: epochs//2)")
+    ap.add_argument("--n-train", type=int, default=400)
+    ap.add_argument("--n-dev", type=int, default=80)
+    ap.add_argument("--skip-mesh-check", action="store_true")
+    args = ap.parse_args()
+    resume_at = args.resume_at or max(1, args.epochs // 2)
+
+    import jax
+    from tpuasr.data import AudioLoader, LoaderConfig
+    from tpuasr.train.checkpoints import save_checkpoint
+
+    tmp = Path(tempfile.mkdtemp(prefix="train_sustained_"))
+    tr, dv = build(tmp, args.n_train, args.n_dev)
+    lcfg = LoaderConfig(batch_size=16, max_label_len=32)
+    dev_loader = AudioLoader(dv.manifest,
+                             LoaderConfig(batch_size=16, max_label_len=32,
+                                          shuffle=False))
+
+    # --- uninterrupted run, epoch throughput measured ---
+    loader = AudioLoader(tr.manifest, lcfg)
+    trainer = make_trainer(str(tmp / "ckpt"), args.epochs)
+    state = trainer.init_state(loader.make_batch(loader.batch_plan(0)[0]))
+    utt_rates = []
+    state, _ = run_epochs(trainer, loader, state, 0, resume_at, utt_rates)
+    # Mid-run checkpoint at the epoch boundary.
+    save_checkpoint(str(tmp / "ckpt"), jax.device_get(state),
+                    int(state.step), meta=trainer.ckpt_meta(resume_at))
+    state, _ = run_epochs(trainer, loader, state, resume_at, args.epochs,
+                          utt_rates)
+    final_continuous = jax.device_get(state.params)
+    dev_m = trainer.evaluate(state, dev_loader)
+
+    # --- resume from the mid-run checkpoint in a FRESH trainer ---
+    from tpuasr.parallel import replicated_sharding
+    from tpuasr.train.checkpoints import restore_checkpoint
+    trainer2 = make_trainer(None, args.epochs)
+    loader2 = AudioLoader(tr.manifest, lcfg)
+    state2 = trainer2.init_state(
+        loader2.make_batch(loader2.batch_plan(0)[0]))
+    state2, meta = restore_checkpoint(str(tmp / "ckpt"),
+                                      jax.device_get(state2))
+    state2 = jax.device_put(state2, replicated_sharding(trainer2.mesh))
+    assert meta["epoch"] == resume_at
+    state2, _ = run_epochs(trainer2, loader2, state2, resume_at,
+                           args.epochs, [])
+    final_resumed = jax.device_get(state2.params)
+    resume_exact = all(
+        np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(final_continuous),
+                        jax.tree_util.tree_leaves(final_resumed)))
+
+    mesh_ok = (None if args.skip_mesh_check
+               else mesh_equality_subprocess())
+
+    out = {"metric": "sustained_train_utt_per_sec",
+           "value": round(float(np.mean(utt_rates[1:] or utt_rates)), 1),
+           "unit": "utt/s/chip",
+           "epochs": args.epochs, "n_train_utts": args.n_train,
+           "utt_per_sec_per_epoch": utt_rates,
+           "final_dev_ter": round(dev_m["ter"], 4),
+           "final_dev_loss": round(dev_m["loss"], 4),
+           "resume_exact": bool(resume_exact),
+           "mesh_equality_1v8": mesh_ok,
+           "backend": jax.default_backend()}
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        Path(args.out).write_text(line + "\n")
+    if not resume_exact or mesh_ok is False:
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -165,3 +165,26 @@ def test_deepspeech_pallas_time_major_matches_plain():
     np.testing.assert_array_equal(np.asarray(ol_p), np.asarray(ol_k))
     np.testing.assert_allclose(np.asarray(logp_k), np.asarray(logp_p),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_matmul_frontend_parity():
+    """FrontConv's matmul formulation (VERDICT r2 item 5) must match the
+    sliding conv through the whole model with SHARED params (checkpoint
+    interchangeability) — both SAME and explicit padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuasr.models import create_model
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 50, 64)), jnp.float32)
+    flens = jnp.array([50, 37], jnp.int32)
+    for pad in (False, True):
+        kw = dict(num_classes=12, rnn_hidden=32, rnn_layers=1,
+                  conv_channels=8, explicit_pad=pad)
+        m1 = create_model("deepspeech_ctc", **kw)
+        m2 = create_model("deepspeech_ctc", matmul_frontend=True, **kw)
+        v = m1.init(jax.random.PRNGKey(0), feats, flens, train=False)
+        a, la = m1.apply(v, feats, flens, train=False)
+        b, lb = m2.apply(v, feats, flens, train=False)
+        assert bool((la == lb).all())
+        assert float(jnp.max(jnp.abs(a - b))) < 5e-4

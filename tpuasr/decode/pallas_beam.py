@@ -154,26 +154,41 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
         g_h1 = [_gather_lane(cur_h1, kconst[k]) for k in range(K)]
         g_h2 = [_gather_lane(cur_h2, kconst[k]) for k in range(K)]
         g_plen = [_gather_lane(cur_plen, kconst[k]) for k in range(K)]
+        # INVERSE-HASH join (round-3 rewrite, KERNELS.md section 4): the
+        # extend hash is affine in the class id — eh1 = h1[k]*M1 + c + 1 —
+        # so "which class extended from beam k merges into beam j" has the
+        # CLOSED FORM c_kj = h1[j] - h1[k]*M1 - 1 (exact under int32
+        # wraparound, since +c is a bijection mod 2^32). Each (k, j) pair
+        # therefore costs scalar (B,1) arithmetic + ONE one-hot gather of
+        # the ext value, instead of v1's two full-lane hash compares +
+        # masked max + absorbed-lane gather (~11 full (B,C_pad) passes ->
+        # ~5). The second hash still verifies the merge (collision odds
+        # unchanged vs v1, which compared both hashes too).
         exts = []
-        absorbed = jnp.full((B_BLK, LANES), NEG_INF)
+        abs_j = [jnp.full((B_BLK, 1), NEG_INF) for _ in range(K)]
         for k in range(K):
             is_rep = lane_c == g_last[k]
             ext = jnp.where(is_rep, g_pb[k], g_pt[k]) + lp_nb  # (B, C_pad)
             # Length cap (matches prefix_beam.py's max_len semantics).
             ext = jnp.where(g_plen[k] >= max_len, NEG_INF, ext)
-            eh1 = g_h1[k] * _M1 + lane_c + 1
-            eh2 = g_h2[k] * _M2 + lane_c + 1
-            any_match = jnp.zeros(ext.shape, bool)
+            h1k_m = g_h1[k] * _M1
+            h2k_m = g_h2[k] * _M2
+            merged = jnp.zeros(ext.shape, bool)
             for j in range(K):
-                match = (eh1 == g_h1[j]) & (eh2 == g_h2[j])  # (B, C_pad)
-                # At most one lane matches (hash varies injectively in c).
-                contrib = _maxlane(jnp.where(match, ext, NEG_INF))
-                prev = _gather_lane(absorbed, kconst[j])
-                absorbed = jnp.where(
-                    _lane_iota(absorbed.shape) == j,
-                    _logaddexp(prev, contrib), absorbed)
-                any_match = any_match | match
-            exts.append(jnp.where(any_match, NEG_INF, ext))
+                c_kj = g_h1[j] - h1k_m - 1                   # (B, 1)
+                valid = ((g_h2[j] == h2k_m + c_kj + 1)
+                         & (c_kj >= 0) & (c_kj < C))
+                onehot = lane_c == c_kj                      # (B, C_pad)
+                # Exactly one lane hits when valid (affine injectivity).
+                contrib = jnp.sum(jnp.where(onehot, ext, 0.0), axis=1,
+                                  keepdims=True)
+                abs_j[j] = _logaddexp(
+                    abs_j[j], jnp.where(valid, contrib, NEG_INF))
+                merged = merged | (onehot & valid)
+            exts.append(jnp.where(merged, NEG_INF, ext))
+        absorbed = jnp.full((B_BLK, LANES), NEG_INF)
+        for j in range(K):
+            absorbed = _set_lane(absorbed, j, abs_j[j])
         stay_pnb = _logaddexp(stay_pnb, absorbed)
         stay_tot = _logaddexp(stay_pb, stay_pnb)
         lane_k = _lane_iota(stay_tot.shape)
@@ -222,9 +237,17 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
         parents = jnp.zeros((B_BLK, LANES), jnp.int32)
         chars = jnp.full((B_BLK, LANES), -1, jnp.int32)
 
+        # Round-3 selection rewrite: per round, per-array maxes come from
+        # ONE maxlane pass each (v1 ran a full 4-pass argmax per array) and
+        # the argmax runs once on the winner-masked union; the stay-side
+        # one-hot is shared across all seven field gathers. Tie semantics
+        # are IDENTICAL to v1 (and to the XLA search's top_k index order):
+        # stays win ties, then arrays in ascending k (the take chain),
+        # then the lowest class lane within the winning array (argmax_lane
+        # returns the first lane on ties).
         for sel in range(K):
             s_idx, s_max = _argmax_lane(stay_rank)
-            e_idx, e_max = zip(*[_argmax_lane(r) for r in ranks])
+            e_max = [_maxlane(r) for r in ranks]
             best = s_max
             for em in e_max:
                 best = jnp.maximum(best, em)
@@ -236,34 +259,51 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
                 tk = (~taken) & (e_max[k] >= best)
                 take_ext.append(tk)
                 taken = taken | tk
+            # Class lane of the winning array's max: mask losing arrays to
+            # NEG_INF and argmax the union (exactly one array is unmasked
+            # per row, so this is that array's first-max lane).
+            sel_rank = jnp.full((B_BLK, LANES), NEG_INF)
+            for k in range(K):
+                sel_rank = jnp.maximum(
+                    sel_rank, jnp.where(take_ext[k], ranks[k], NEG_INF))
+            c_idx, _ = _argmax_lane(sel_rank)
+            onehot_c = lane_c == c_idx                       # shared
+            onehot_s = lane_k == s_idx                       # shared
+
+            def stay_g(field):
+                return jnp.sum(jnp.where(onehot_s, field, 0), axis=1,
+                               keepdims=True)
 
             # Selected state fields, per row.
-            sel_pb = jnp.where(take_stay,
-                               _gather_lane(stay_pb, s_idx), NEG_INF)
-            sel_pnb = jnp.where(take_stay,
-                                _gather_lane(stay_pnb, s_idx), NEG_INF)
-            sel_h1 = jnp.where(take_stay, _gather_lane(cur_h1, s_idx), 0)
-            sel_h2 = jnp.where(take_stay, _gather_lane(cur_h2, s_idx), 0)
-            sel_last = jnp.where(take_stay,
-                                 _gather_lane(cur_last, s_idx), -1)
-            sel_last2 = (jnp.where(take_stay,
-                                   _gather_lane(cur_last2, s_idx), -1)
+            sel_pb = jnp.where(take_stay, stay_g(stay_pb), NEG_INF)
+            sel_pnb = jnp.where(take_stay, stay_g(stay_pnb), NEG_INF)
+            sel_h1 = jnp.where(take_stay, stay_g(cur_h1), 0)
+            sel_h2 = jnp.where(take_stay, stay_g(cur_h2), 0)
+            sel_last = jnp.where(take_stay, stay_g(cur_last), -1)
+            sel_last2 = (jnp.where(take_stay, stay_g(cur_last2), -1)
                          if track_last2 else None)
-            sel_plen = jnp.where(take_stay,
-                                 _gather_lane(cur_plen, s_idx), 0)
-            sel_lm = (jnp.where(take_stay, _gather_lane(cur_lm, s_idx), 0.0)
+            sel_plen = jnp.where(take_stay, stay_g(cur_plen), 0)
+            sel_lm = (jnp.where(take_stay, stay_g(cur_lm), 0.0)
                       if have_lm else None)
             sel_parent = jnp.where(take_stay, s_idx, 0)
             sel_char = jnp.full((B_BLK, 1), -1, jnp.int32)
+            if have_lm:
+                # Ranks include the LM term; stored p_nb is acoustic — the
+                # components are gathered at the winning class lane.
+                ext_pnb = jnp.full((B_BLK, 1), NEG_INF)
+                ext_lm_v = jnp.zeros((B_BLK, 1), jnp.float32)
+                for k in range(K):
+                    gv = jnp.sum(jnp.where(onehot_c, exts[k], 0.0), axis=1,
+                                 keepdims=True)
+                    gl = jnp.sum(jnp.where(onehot_c, ext_lms[k], 0.0),
+                                 axis=1, keepdims=True)
+                    ext_pnb = jnp.where(take_ext[k], gv, ext_pnb)
+                    ext_lm_v = jnp.where(take_ext[k], gl, ext_lm_v)
             for k in range(K):
                 tk = take_ext[k]
-                c_idx = e_idx[k]
                 if have_lm:
-                    # Ranks include the LM term; stored p_nb is acoustic.
-                    sel_pnb = jnp.where(tk, _gather_lane(exts[k], c_idx),
-                                        sel_pnb)
-                    sel_lm = jnp.where(tk, _gather_lane(ext_lms[k], c_idx),
-                                       sel_lm)
+                    sel_pnb = jnp.where(tk, ext_pnb, sel_pnb)
+                    sel_lm = jnp.where(tk, ext_lm_v, sel_lm)
                 else:
                     sel_pnb = jnp.where(tk, e_max[k], sel_pnb)
                 sel_pb = jnp.where(tk, NEG_INF, sel_pb)
@@ -308,11 +348,11 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
             parents = _set_lane(parents, sel, sel_parent)
             chars = _set_lane(chars, sel, sel_char)
 
-            # Remove the chosen candidate from its source.
-            stay_hit = take_stay & (lane_k == s_idx)
+            # Remove the chosen candidate from its source (one lane).
+            stay_hit = take_stay & onehot_s
             stay_rank = jnp.where(stay_hit, NEG_INF, stay_rank)
             for k in range(K):
-                hit = take_ext[k] & (lane_c == e_idx[k])
+                hit = take_ext[k] & onehot_c
                 ranks[k] = jnp.where(hit, NEG_INF, ranks[k])
 
         # ---- freeze finished rows ----

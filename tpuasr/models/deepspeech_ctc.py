@@ -14,8 +14,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tpuasr.models.layers import (BiGRU, MaskedBatchNorm, conv_out_length,
-                                  sequence_mask)
+from tpuasr.models.layers import (BiGRU, FrontConv, MaskedBatchNorm,
+                                  conv_out_length, sequence_mask)
 
 
 class DeepSpeechCTC(nn.Module):
@@ -38,6 +38,10 @@ class DeepSpeechCTC(nn.Module):
     # depends on total T parity (anti-causal for stride 2), which makes
     # exact chunked streaming impossible. Output shapes are unchanged.
     explicit_pad: bool = False
+    # Matmul-formulated conv frontend (layers.FrontConv): each time tap is
+    # a full-lane (B*T, F*Cin)@(F*Cin, Fo*Cout) matmul instead of a
+    # C_out=32 lane-starved conv; same params, equal up to f32 rounding.
+    matmul_frontend: bool = False
 
     @nn.compact
     def __call__(self, feats, feat_lens, train: bool = False):
@@ -47,9 +51,9 @@ class DeepSpeechCTC(nn.Module):
         # DS2-style frontend: (time, freq) kernels, total time stride 2.
         pad1 = [(5, 5), (20, 20)] if self.explicit_pad else "SAME"
         pad2 = [(5, 5), (10, 10)] if self.explicit_pad else "SAME"
-        x = nn.Conv(self.conv_channels, (11, 41), strides=(2, 2),
-                    padding=pad1, use_bias=False, name="conv1",
-                    dtype=cdt)(x)
+        x = FrontConv(self.conv_channels, (11, 41), strides=(2, 2),
+                      padding=pad1, name="conv1", dtype=cdt,
+                      use_matmul=self.matmul_frontend)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          axis_name=self.axis_name, name="conv1_bn")(x)
         x = nn.relu(x)
@@ -57,9 +61,9 @@ class DeepSpeechCTC(nn.Module):
         # Re-zero padding (BN bias makes zeros nonzero; see ResNetCTC).
         tmask = sequence_mask(out_lens, x.shape[1])[:, :, None, None]
         x = x * tmask
-        x = nn.Conv(self.conv_channels, (11, 21), strides=(1, 2),
-                    padding=pad2, use_bias=False, name="conv2",
-                    dtype=cdt)(x)
+        x = FrontConv(self.conv_channels, (11, 21), strides=(1, 2),
+                      padding=pad2, name="conv2", dtype=cdt,
+                      use_matmul=self.matmul_frontend)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          axis_name=self.axis_name, name="conv2_bn")(x)
         x = nn.relu(x)

@@ -245,3 +245,80 @@ class BiGRU(nn.Module):
                        fused_proj=self.fused_proj,
                        time_major=self.time_major)(x, lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def _same_pad(n: int, k: int, s: int) -> tuple[int, int]:
+    """XLA SAME padding split (extra on the high side)."""
+    out = -(-n // s)
+    total = max((out - 1) * s + k - n, 0)
+    return total // 2, total - total // 2
+
+
+class FrontConv(nn.Module):
+    """2-D NHWC conv with an optional MXU-shaped matmul formulation.
+
+    Parameter layout is IDENTICAL to ``nn.Conv(features, kernel_size,
+    use_bias=False)`` — one "kernel" (Kt, Kf, Cin, Cout) under this
+    module's name — so checkpoints are interchangeable between modes.
+
+    use_matmul=True reformulates the conv as Kt shifted matmuls
+    (VERDICT r2 item 5): the (freq, channel) axes flatten into a dense
+    (F*Cin, F_out*Cout) matrix per time tap, so instead of a conv whose
+    C_out=32 occupies a quarter of the MXU's output lanes, each tap is a
+    full-lane (B*T, F*Cin) @ (F*Cin, Fo*Cout) matmul (e.g. 1024 -> 512 at
+    DeepSpeech shapes). ~1.5x the FLOPs of the sliding conv (the matrix
+    carries the band-structure zeros) at far higher MXU utilization.
+    Numerics: f32 accumulation either way; same zero padding; result equal
+    to the conv up to f32 summation-order rounding.
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    padding: object = "SAME"          # "SAME" | [(lo,hi),(lo,hi)]
+    dtype: object = None
+    use_matmul: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, F, Cin = x.shape
+        Kt, Kf = self.kernel_size
+        st, sf = self.strides
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (Kt, Kf, Cin, self.features))
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        w = kernel.astype(dt)
+        if self.padding == "SAME":
+            pt, pf = _same_pad(T, Kt, st), _same_pad(F, Kf, sf)
+        else:
+            pt, pf = tuple(self.padding[0]), tuple(self.padding[1])
+        if not self.use_matmul:
+            return jax.lax.conv_general_dilated(
+                x, w, window_strides=(st, sf), padding=[pt, pf],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        T_out = (T + pt[0] + pt[1] - Kt) // st + 1
+        F_out = (F + pf[0] + pf[1] - Kf) // sf + 1
+        # Band matrix per time tap: M[t, (fi, ci), (fo, co)] =
+        # w[t, fi - fo*sf + pf_lo, ci, co] where the tap index is valid,
+        # else 0 (out-of-range fi is the zero freq-padding, folded in).
+        fi = jnp.arange(F)[:, None]
+        fo = jnp.arange(F_out)[None, :]
+        d = fi - fo * sf + pf[0]                     # (F, F_out)
+        valid = (d >= 0) & (d < Kf)
+        wt = jnp.where(valid[None, :, :, None, None],
+                       w[:, jnp.clip(d, 0, Kf - 1)], 0)  # (Kt,F,Fo,Ci,Co)
+        m = jnp.transpose(wt, (0, 1, 3, 2, 4)).reshape(
+            Kt, F * Cin, F_out * self.features)
+        xp = jnp.pad(x, ((0, 0), (pt[0], pt[1]), (0, 0), (0, 0)))
+        xf = xp.reshape(B, T + pt[0] + pt[1], F * Cin)
+        acc = jnp.zeros((B, T_out, F_out * self.features), jnp.float32)
+        for t in range(Kt):
+            xs = jax.lax.slice(
+                xf, (0, t, 0), (B, t + (T_out - 1) * st + 1, F * Cin),
+                (1, st, 1))                          # (B, T_out, F*Cin)
+            acc = acc + jax.lax.dot_general(
+                xs, m[t], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc.reshape(B, T_out, F_out, self.features).astype(dt)
