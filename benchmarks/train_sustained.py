@@ -83,7 +83,8 @@ from tpuasr.parallel import make_mesh
 import tempfile
 tmp = Path(tempfile.mkdtemp(prefix="train_mesh_"))
 tr, dv = build(tmp, 32, 8)
-lcfg = LoaderConfig(batch_size=16, max_label_len=32)
+lcfg = LoaderConfig(batch_size=16, max_label_len=32,
+                    max_buckets=1, bucket_quantum=8000)
 outs = []
 for n_dev in (1, 8):
     loader = AudioLoader(tr.manifest, lcfg)
@@ -135,9 +136,12 @@ def main():
 
     tmp = Path(tempfile.mkdtemp(prefix="train_sustained_"))
     tr, dv = build(tmp, args.n_train, args.n_dev)
-    lcfg = LoaderConfig(batch_size=16, max_label_len=32)
+    lcfg = LoaderConfig(batch_size=16, max_label_len=32,
+                        max_buckets=1, bucket_quantum=8000)
     dev_loader = AudioLoader(dv.manifest,
                              LoaderConfig(batch_size=16, max_label_len=32,
+                                          max_buckets=1,
+                                          bucket_quantum=8000,
                                           shuffle=False))
 
     # --- uninterrupted run, epoch throughput measured ---

@@ -84,11 +84,17 @@ def main():
                               **mk)
 
     max_label = 8 * 4            # words_per_utt max * pron_len max
-    lcfg = LoaderConfig(batch_size=16, max_label_len=max_label)
+    # ONE bucket, boundary rounded to 1 s: a single stable train/eval shape
+    # (each fresh shape costs minutes of remote compile on the axon
+    # terminal; 6 default buckets made the round-3 first run time out).
+    lcfg = LoaderConfig(batch_size=16, max_label_len=max_label,
+                        max_buckets=1, bucket_quantum=8000)
     train_loader = AudioLoader(train_c.manifest, lcfg)
     eval_loader = AudioLoader(eval_c.manifest,
                               LoaderConfig(batch_size=16,
                                            max_label_len=max_label,
+                                           max_buckets=1,
+                                           bucket_quantum=8000,
                                            shuffle=False))
     cfg = TrainConfig(model="deepspeech_ctc", num_classes=V,
                       model_kwargs=dict(rnn_hidden=96, rnn_layers=2,

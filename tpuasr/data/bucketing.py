@@ -30,22 +30,32 @@ class BucketSpec:
 
 
 def make_buckets(lengths, max_waste: float = 0.2, min_buckets: int = 2,
-                 max_buckets: int = 8) -> BucketSpec:
+                 max_buckets: int = 8, quantum: int = 1) -> BucketSpec:
     """Choose bucket boundaries from a corpus length histogram.
 
     Geometric-ish boundaries chosen so expected padding waste stays under
     ``max_waste`` with at most ``max_buckets`` distinct shapes.
+
+    ``quantum``: round every boundary UP to a multiple of this many
+    samples. Boundaries then stop depending on the exact corpus maximum,
+    so different corpus draws with similar length ranges share shapes —
+    and share the XLA compile cache (a fresh shape costs minutes per
+    program under the remote-compile TPU terminal).
     """
     lengths = np.asarray(sorted(lengths))
     if len(lengths) == 0:
         raise ValueError("empty corpus")
-    lo, hi = int(lengths[0]), int(lengths[-1])
-    if lo == hi:
+
+    def q_up(x):
+        return -(-int(x) // quantum) * quantum
+
+    lo, hi = int(lengths[0]), q_up(lengths[-1])
+    if lo == hi or max_buckets == 1:
         return BucketSpec((hi,))
     for k in range(min_buckets, max_buckets + 1):
         # k quantile-based boundaries (equal mass), always ending at max.
         qs = [lengths[int(len(lengths) * (i + 1) / k) - 1] for i in range(k)]
-        bounds = sorted(set(int(q) for q in qs) | {hi})
+        bounds = sorted(set(q_up(q) for q in qs) | {hi})
         waste = _expected_waste(lengths, bounds)
         if waste <= max_waste:
             return BucketSpec(tuple(bounds))

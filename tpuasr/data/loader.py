@@ -24,6 +24,9 @@ class LoaderConfig:
     drop_last: bool = False
     max_waste: float = 0.2
     max_buckets: int = 6
+    # Round bucket boundaries up to a multiple of this many samples so
+    # shapes are stable across corpus draws (compile-cache friendly).
+    bucket_quantum: int = 1
     # When set (a FeatureConfig), batches also carry per-frame labels
     # derived from utterance `segments` (frame-wise training; reference's
     # CapsNet/SSVAE mode): batch["frame_labels"] (B, T_frames) i32, blank=0.
@@ -68,7 +71,8 @@ class AudioLoader:
         lens = [u.num_samples for u in self.utts]
         self.buckets = bucket_spec or make_buckets(
             lens, max_waste=self.cfg.max_waste,
-            max_buckets=self.cfg.max_buckets)
+            max_buckets=self.cfg.max_buckets,
+            quantum=self.cfg.bucket_quantum)
         import collections
         self._cache: collections.OrderedDict[str, np.ndarray] = (
             collections.OrderedDict())
