@@ -102,3 +102,27 @@ def test_lazy_top_level_api():
     assert callable(tpuasr.make_synthetic_corpus)
     with pytest.raises(AttributeError):
         tpuasr.not_a_real_symbol
+
+
+def test_compile_cache_repairs_orphaned_lru_metadata(tmp_path):
+    """Entries written before the LRU bound lack `-atime` twins; jax's
+    LRUCache raises on every put until they are backfilled."""
+    from tpuasr.utils.compile_cache import _repair_lru_metadata
+
+    old = tmp_path / "jit_f-aaaa-cache"
+    old.write_bytes(b"x" * 16)
+    paired = tmp_path / "jit_g-bbbb-cache"
+    paired.write_bytes(b"y")
+    (tmp_path / "jit_g-bbbb-atime").write_bytes((7).to_bytes(8, "little"))
+    dangling = tmp_path / "jit_h-cccc-atime"
+    dangling.write_bytes((9).to_bytes(8, "little"))
+
+    _repair_lru_metadata(tmp_path)
+
+    backfilled = tmp_path / "jit_f-aaaa-atime"
+    assert backfilled.exists()
+    ts = int.from_bytes(backfilled.read_bytes(), "little")
+    assert ts == int(old.stat().st_mtime * 1e9)
+    # paired entry untouched, dangling atime removed
+    assert (tmp_path / "jit_g-bbbb-atime").read_bytes() == (7).to_bytes(8, "little")
+    assert not dangling.exists()

@@ -19,6 +19,30 @@ _DEFAULT = Path.home() / ".cache" / "tpuasr" / "jax"
 _enabled = False
 
 
+def _repair_lru_metadata(path: Path) -> None:
+    """Backfill `-atime` twins for entries written before the LRU bound.
+
+    jax's LRUCache (used once jax_compilation_cache_max_size is set) reads
+    `<key>-atime` for EVERY `<key>-cache` file on each put; a single entry
+    written by the unbounded cache (no atime twin) makes every subsequent
+    put raise FileNotFoundError, so nothing new is ever cached and the dir
+    never shrinks. Seed missing twins with the entry's mtime so real LRU
+    order is preserved, and drop dangling atime files.
+    """
+    try:
+        for cache_file in path.glob("*-cache"):
+            atime = path / (cache_file.name[: -len("-cache")] + "-atime")
+            if not atime.exists():
+                ts = int(cache_file.stat().st_mtime * 1e9)
+                atime.write_bytes(ts.to_bytes(8, "little"))
+        for atime_file in path.glob("*-atime"):
+            cache = path / (atime_file.name[: -len("-atime")] + "-cache")
+            if not cache.exists():
+                atime_file.unlink()
+    except OSError:  # pragma: no cover - repair is best-effort
+        pass
+
+
 def enable_compilation_cache() -> str | None:
     """Idempotently turn on JAX's persistent compilation cache.
 
@@ -34,6 +58,7 @@ def enable_compilation_cache() -> str | None:
         return str(path)
     try:
         path.mkdir(parents=True, exist_ok=True)
+        _repair_lru_metadata(path)
         import jax
 
         jax.config.update("jax_compilation_cache_dir", str(path))
