@@ -76,7 +76,7 @@ def run_epochs(trainer, loader, state, lo, hi, utt_rates):
 
 _CHILD_CODE = """
 import sys
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, @REPO@)
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
@@ -120,7 +120,7 @@ def mesh_equality_subprocess() -> bool:
     env = ge._child_env(8)
     env.pop("TPUASR_DRYRUN_INPROC")
     proc = subprocess.run(
-        [sys.executable, "-c", _CHILD_CODE.format(repo=str(REPO))],
+        [sys.executable, "-c", _CHILD_CODE.replace("@REPO@", repr(str(REPO)))],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
     ok = proc.returncode == 0 and "MESH_EQUAL" in proc.stdout
     if not ok:

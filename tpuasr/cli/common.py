@@ -60,10 +60,10 @@ def add_lm_flags(p: argparse.ArgumentParser):
                         "search path; table grows as C^3 — phone-scale "
                         "inventories)")
     g.add_argument("--fst", type=str, default=None,
-                   help="OpenFst TEXT-format WFST (fstprint output, e.g. a "
-                        "Kaldi TLG printed with fstprint) for host n-best "
-                        "rescoring/transduction; ilabels = unit ids "
-                        "(0 = <eps>)")
+                   help="OpenFst WFST for host n-best rescoring/"
+                        "transduction — binary (fstcompile/Kaldi mkgraph "
+                        "vector or const fst) or text (fstprint output), "
+                        "auto-detected; ilabels = unit ids (0 = <eps>)")
     g.add_argument("--fst-weight", type=float, default=1.0,
                    help="weight on the FST log-prob (minus tropical cost)")
     g.add_argument("--fst-isyms", type=str, default=None,
@@ -81,7 +81,8 @@ def load_fst(args):
     from tpuasr.decode import SymbolTable, WFST
     isyms = (SymbolTable.load(args.fst_isyms) if args.fst_isyms else None)
     osyms = (SymbolTable.load(args.fst_osyms) if args.fst_osyms else None)
-    return WFST.load_text(args.fst, isyms=isyms, osyms=osyms), osyms
+    fst = WFST.load(args.fst, isyms=isyms, osyms=osyms)
+    return fst, osyms if osyms is not None else fst.osyms
 
 
 def fusion_tables(lm, syms: list[str], order: int) -> dict:
