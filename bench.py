@@ -31,6 +31,8 @@ def main() -> int:
 
     B = 128                     # utterances per batch (throughput-optimal
                                 # on v5e: 32->7641x, 64->9162x, 128->9658x RT)
+    if "--batch" in sys.argv:   # A/B harness: bench.py --batch 256
+        B = int(sys.argv[sys.argv.index("--batch") + 1])
     SECONDS = 10.0              # per utterance
     SR = 8000
     NUM_CLASSES = 64            # ASpIRE-style phone inventory scale

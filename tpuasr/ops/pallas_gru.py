@@ -50,6 +50,19 @@ def _t_blk(B: int, H: int) -> int:
     return _pow2_floor(max(1, min(16, budget // max(per_t, 1))))
 
 
+def _t_blk_bwd(B: int, H: int) -> int:
+    """Backward block sizing. BPTT streams xp+dxp (3H each) and ysp+dys
+    (H each) per frame — ~2x the forward's window — so reusing the
+    forward's T_BLK blows the 16 MB scoped-VMEM stack at larger B
+    (measured: B=64/H=512/T_BLK=8 allocates 18.12M = ~1.3M fixed +
+    2 x T_BLK x B x (8H+1) x 4 double-buffered; the resident (H,3H)
+    buffers live outside the scoped stack). Must divide the forward's
+    T_BLK so one T padding serves both calls — both are powers of two."""
+    per_t = B * (8 * H + 1) * 4 * 2
+    cap = _pow2_floor(max(1, min(16, (12 * 2 ** 20) // max(per_t, 1))))
+    return min(cap, _t_blk(B, H))
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
@@ -167,7 +180,7 @@ def _build_fwd(T: int, B: int, H: int, interpret: bool = False,
 @functools.lru_cache(maxsize=32)
 def _build_bwd(T: int, B: int, H: int, interpret: bool = False,
                dtype: str = "float32", reverse: bool = False):
-    T_BLK = _t_blk(B, H)
+    T_BLK = _t_blk_bwd(B, H)
     n_tb = T // T_BLK
     # BPTT walks the scan's dependency chain backwards: grid descending for
     # a forward scan, ascending for a reversed scan.
