@@ -27,6 +27,8 @@ def main():
     from tpuasr.utils.profiling import rtf_breakdown
 
     B, SECONDS = 32, 10.0
+    if "--batch" in sys.argv:      # stage breakdown at other batch sizes
+        B = int(sys.argv[sys.argv.index("--batch") + 1])
     rng = np.random.default_rng(0)
     wav = jnp.asarray(synth_wav(rng, B, SECONDS))
     lens = jnp.full((B,), wav.shape[1], jnp.int32)
