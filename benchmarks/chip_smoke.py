@@ -146,6 +146,39 @@ def main() -> int:
                            jnp.max(jnp.abs(ga - gb)))
     check("gru_scan_bidir fwd+bwd", bidir_dev, tol=3e-3)
 
+    # ---- fused dynamic routing (value + grad) ----
+    from tpuasr.models.capsnet import dynamic_routing
+    from tpuasr.ops.pallas_routing import routed_caps
+    Ir, Dr, Or, Ddr = 256, 8, 48, 16
+    rng_r = np.random.default_rng(123)   # own stream: keep later checks'
+    ur = jnp.asarray(                    # random inputs reproducible
+        rng_r.standard_normal((2, 4, Ir, Dr)).astype(np.float32)) * 0.5
+    Wr = jnp.asarray(rng_r.standard_normal(
+        (Ir, Dr, Or * Ddr)).astype(np.float32)) * 0.2
+    tgt = jnp.asarray(
+        rng_r.standard_normal((2, 4, Or, Ddr)).astype(np.float32))
+
+    def route_ref(u, W):
+        uh = jnp.einsum("btid,idk->btik", u, W,
+                        preferred_element_type=jnp.float32)
+        return dynamic_routing(
+            uh.reshape(u.shape[0], u.shape[1], Ir, Or, Ddr), 3)
+
+    def routing_dev():
+        a = route_ref(ur, Wr)
+        b = routed_caps(ur, Wr, Or, Ddr)
+        ga = jax.grad(lambda u, W: jnp.sum((route_ref(u, W) - tgt) ** 2),
+                      argnums=(0, 1))(ur, Wr)
+        gb = jax.grad(lambda u, W: jnp.sum(
+            (routed_caps(u, W, Or, Ddr) - tgt) ** 2),
+            argnums=(0, 1))(ur, Wr)
+        dev = jnp.max(jnp.abs(a - b))
+        for x, y in zip(ga, gb):
+            dev = jnp.maximum(dev, jnp.max(
+                jnp.abs(x - y) / jnp.maximum(jnp.abs(x), 1.0)))
+        return dev
+    check("pallas_routing fwd+bwd", routing_dev, tol=3e-3)
+
     # ---- beam search kernel (plain + LM-fused) ----
     from tpuasr.decode import BeamSearchConfig, ctc_beam_search
     from tpuasr.decode.pallas_beam import ctc_beam_search_pallas

@@ -20,6 +20,8 @@ def main():
     from tpuasr.utils.profiling import time_fn
 
     B, SECONDS, U = 8, 5.0, 16
+    if "--batch" in sys.argv:      # routing is matmul-heavy: batch helps
+        B = int(sys.argv[sys.argv.index("--batch") + 1])
     rng = np.random.default_rng(0)
     batch = dict(
         wav=synth_wav(rng, B, SECONDS),
@@ -28,7 +30,11 @@ def main():
         token_lens=np.full((B,), U, np.int32),
         real=np.ones((B,), bool),
     )
-    cfg = TrainConfig(model="capsule1", num_classes=48, warmup_steps=1)
+    on_tpu = jax.default_backend() == "tpu"
+    no_fused = "--no-fused-routing" in sys.argv   # A/B: XLA routing path
+    cfg = TrainConfig(model="capsule1", num_classes=48, warmup_steps=1,
+                      model_kwargs=dict(
+                          pallas_routing=on_tpu and not no_fused))
     trainer = Trainer(cfg, FeatureConfig())
     state = trainer.init_state(batch)
     dbatch = trainer._device_batch(batch)
@@ -58,6 +64,7 @@ def main():
     detail("roofline infer: " + json.dumps(rl_inf))
     emit(4, "capsnet_train_step_ms", train_ms, "ms",
          infer_ms=round(t_inf * 1e3, 2), batch_size=B,
+         fused_routing=on_tpu and not no_fused,
          backend=jax.default_backend(),
          mfu=round(rl.get("mfu", 0.0), 4),
          achieved_tflops=round(rl.get("achieved_tflops", 0.0), 2),

@@ -46,15 +46,21 @@ def build(tmp, n_train, n_dev):
     return tr, dv
 
 
-def make_trainer(ckpt_dir, epochs, continue_from=None):
+def make_trainer(ckpt_dir, epochs, continue_from=None, bf16=False):
+    import jax
+
     from tpuasr.features import FeatureConfig
     from tpuasr.train import TrainConfig, Trainer
+    on_tpu = jax.default_backend() == "tpu"
     cfg = TrainConfig(model="deepspeech_ctc", num_classes=14,
                       model_kwargs=dict(rnn_hidden=96, rnn_layers=2,
-                                        conv_channels=16, dropout=0.0),
+                                        conv_channels=16, dropout=0.0,
+                                        bf16_gru=bf16 and on_tpu,
+                                        bf16_conv=bf16),
                       lr=3e-3, num_epochs=epochs, warmup_steps=40,
                       log_every=10 ** 9, ckpt_dir=ckpt_dir,
-                      ckpt_every_steps=10 ** 9, continue_from=continue_from)
+                      ckpt_every_steps=10 ** 9, continue_from=continue_from,
+                      bf16_compute=bf16)
     return Trainer(cfg, FeatureConfig(n_mels=40))
 
 
@@ -142,6 +148,10 @@ def main():
     ap.add_argument("--n-train", type=int, default=400)
     ap.add_argument("--n-dev", type=int, default=80)
     ap.add_argument("--skip-mesh-check", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute: feats + conv + GRU kernel IO "
+                         "(the config3 --sweep operating point)")
     args = ap.parse_args()
     resume_at = args.resume_at or max(1, args.epochs // 2)
 
@@ -151,7 +161,7 @@ def main():
 
     tmp = Path(tempfile.mkdtemp(prefix="train_sustained_"))
     tr, dv = build(tmp, args.n_train, args.n_dev)
-    lcfg = LoaderConfig(batch_size=16, max_label_len=32,
+    lcfg = LoaderConfig(batch_size=args.batch_size, max_label_len=32,
                         max_buckets=1, bucket_quantum=8000)
     dev_loader = AudioLoader(dv.manifest,
                              LoaderConfig(batch_size=16, max_label_len=32,
@@ -161,7 +171,7 @@ def main():
 
     # --- uninterrupted run, epoch throughput measured ---
     loader = AudioLoader(tr.manifest, lcfg)
-    trainer = make_trainer(str(tmp / "ckpt"), args.epochs)
+    trainer = make_trainer(str(tmp / "ckpt"), args.epochs, bf16=args.bf16)
     state = trainer.init_state(loader.make_batch(loader.batch_plan(0)[0]))
     utt_rates = []
     state, _ = run_epochs(trainer, loader, state, 0, resume_at, utt_rates)
@@ -176,7 +186,7 @@ def main():
     # --- resume from the mid-run checkpoint in a FRESH trainer ---
     from tpuasr.parallel import replicated_sharding
     from tpuasr.train.checkpoints import restore_checkpoint
-    trainer2 = make_trainer(None, args.epochs)
+    trainer2 = make_trainer(None, args.epochs, bf16=args.bf16)
     loader2 = AudioLoader(tr.manifest, lcfg)
     state2 = trainer2.init_state(
         loader2.make_batch(loader2.batch_plan(0)[0]))
@@ -199,6 +209,7 @@ def main():
            "value": round(float(np.mean(utt_rates[1:] or utt_rates)), 1),
            "unit": "utt/s/chip",
            "epochs": args.epochs, "n_train_utts": args.n_train,
+           "batch_size": args.batch_size, "bf16": args.bf16,
            "utt_per_sec_per_epoch": utt_rates,
            "final_dev_ter": round(dev_m["ter"], 4),
            "final_dev_loss": round(dev_m["loss"], 4),

@@ -60,6 +60,11 @@ class CapsNetCTC(nn.Module):
     class_dim: int = 16
     routing_iters: int = 3
     time_stride: int = 2
+    # Fused Pallas routing (ops/pallas_routing.py): u_hat computed and
+    # routed entirely in VMEM — never materialized in HBM. Numerically
+    # equal to the einsum + dynamic_routing path up to f32 summation
+    # order; same gradient semantics (stop-gradient iterations).
+    pallas_routing: bool = False
 
     @nn.compact
     def __call__(self, feats, feat_lens, train: bool = False):
@@ -86,11 +91,16 @@ class CapsNetCTC(nn.Module):
         W = self.param("W_route", nn.initializers.lecun_normal(),
                        (n_in, self.primary_dim,
                         self.num_classes * self.class_dim))
-        u_hat = jnp.einsum("btid,idk->btik", u, W,
-                           preferred_element_type=jnp.float32)
-        u_hat = u_hat.reshape(B, Tp, n_in, self.num_classes, self.class_dim)
-
-        v = dynamic_routing(u_hat, self.routing_iters)   # (B, T', C, D)
+        if self.pallas_routing:
+            from tpuasr.ops.pallas_routing import routed_caps
+            v = routed_caps(u, W, self.num_classes, self.class_dim,
+                            self.routing_iters)           # (B, T', C, D)
+        else:
+            u_hat = jnp.einsum("btid,idk->btik", u, W,
+                               preferred_element_type=jnp.float32)
+            u_hat = u_hat.reshape(B, Tp, n_in, self.num_classes,
+                                  self.class_dim)
+            v = dynamic_routing(u_hat, self.routing_iters)  # (B, T', C, D)
         caps_len = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-8)  # (B, T', C)
 
         # Capsule lengths in (0,1): scale to usable logits for CTC.
