@@ -12,17 +12,50 @@ BASELINE.md). value = seconds of audio decoded per wall-clock second.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
+def _probe_tpu(timeout_s: float = 180.0) -> bool:
+    """True iff the TPU backend initializes AND completes one op + host
+    transfer in a fresh subprocess within the timeout.
+
+    The axon tunnel can wedge in ways that hang ``jax.default_backend()``
+    itself indefinitely (observed 2026-08-17: backend init blocked >10 min,
+    0% CPU).  Probing in-process would wedge *this* process too; a
+    subprocess bounds the damage to ``timeout_s`` and leaves the parent free
+    to fall back to CPU so the driver always gets its one JSON line.
+    """
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "assert jax.default_backend() == 'tpu', jax.default_backend();"
+            "print(int(np.asarray(jnp.ones((8, 128)).sum())))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+    return proc.returncode == 0 and proc.stdout.strip().endswith("1024")
+
+
 def main() -> int:
+    want_cpu = os.environ.get("TPUASR_PLATFORM") == "cpu"
+    tpu_ok = (not want_cpu) and _probe_tpu()
+
     from tpuasr.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
     import jax
+
+    if not tpu_ok:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized by the embedding process
     import jax.numpy as jnp
 
     from tpuasr.decode import BeamSearchConfig, get_beam_search
@@ -33,6 +66,9 @@ def main() -> int:
                                 # on v5e: 32->7641x, 64->9162x, 128->9658x RT)
     if "--batch" in sys.argv:   # A/B harness: bench.py --batch 256
         B = int(sys.argv[sys.argv.index("--batch") + 1])
+    if jax.default_backend() != "tpu":
+        B = min(B, 2)           # bounded-time CPU fallback (single core):
+                                # the JSON is labeled backend=cpu
     SECONDS = 10.0              # per utterance
     SR = 8000
     NUM_CLASSES = 64            # ASpIRE-style phone inventory scale
@@ -85,7 +121,7 @@ def main() -> int:
     np.asarray(out[0][0, :1])
 
     # Timed runs: queue n_iter executions, then drain once.
-    n_iter = 20
+    n_iter = 20 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = pipeline(variables, ftabs, wav_d, lens_d)
@@ -121,6 +157,10 @@ def main() -> int:
         "achieved_tflops": round(rl.get("achieved_tflops", 0.0), 2),
         "hbm_frac": round(rl.get("hbm_frac", 0.0), 4),
         "bound": rl.get("bound"),
+        # "tpu" normally; "cpu" only when the TPU probe failed (wedged axon
+        # tunnel) and the run fell back — a labeled, bounded-time degradation
+        # instead of an unbounded hang under the driver.
+        "backend": jax.default_backend(),
     }))
     return 0
 

@@ -67,6 +67,21 @@ def test_text_roundtrip(tmp_path):
         assert (a == b or (math.isinf(a) and math.isinf(b))) and ao == bo
 
 
+def test_text_roundtrip_final_only_start(tmp_path):
+    # The start state has no arcs: its final line must come FIRST in the
+    # text file (first mentioned state defines the start), or a reload
+    # silently picks a different start state.
+    fst = WFST(start=5)
+    fst.set_final(5, 0.25)
+    fst.add_arc(1, 5, 2, 0, 0.5)   # unreachable from start, but present
+    p = tmp_path / "g.txt"
+    fst.save_text(p)
+    fst2 = WFST.load_text(p)
+    assert fst2.start == 5
+    assert fst2.score([])[0] == pytest.approx(0.25)
+    assert math.isinf(fst2.score([2])[0])
+
+
 def test_text_with_symbol_tables(tmp_path):
     phones = SymbolTable.from_list(["<eps>", "p1", "p2"])
     words = SymbolTable.from_list(["<eps>", "hello"])

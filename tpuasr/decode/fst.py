@@ -223,17 +223,27 @@ class WFST:
             return table.sym(i) if table is not None else str(i)
 
         lines = []
-        # Start state's arcs first (OpenFst: first line defines start).
+        done_finals = set()
+        # Start state first (OpenFst: the first mentioned state IS the
+        # start). A final-only start has no arc line, so its final line
+        # must lead the file instead.
+        if self.start not in self.arcs:
+            w = self.finals.get(self.start)
+            if w is None:
+                raise ValueError(
+                    f"start state {self.start} has no arcs and is not "
+                    "final; the text format cannot express it")
+            lines.append(f"{self.start} {w:.6g}" if w else f"{self.start}")
+            done_finals.add(self.start)
         order = [self.start] + [s for s in sorted(self.arcs)
                                 if s != self.start]
         for s in order:
             for a in self.arcs.get(s, []):
                 lines.append(f"{s} {a.dst} {name(a.ilabel, isyms)} "
                              f"{name(a.olabel, osyms)} {a.weight:.6g}")
-        if self.start in self.finals and self.start not in self.arcs:
-            pass   # final-only start still needs to come first
         for s, w in sorted(self.finals.items()):
-            lines.append(f"{s} {w:.6g}" if w else f"{s}")
+            if s not in done_finals:
+                lines.append(f"{s} {w:.6g}" if w else f"{s}")
         Path(path).write_text("\n".join(lines) + "\n")
 
     # ---- OpenFst binary format ----

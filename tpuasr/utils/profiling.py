@@ -24,7 +24,7 @@ def _drain(out) -> None:
     np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
 
 
-def time_fn(fn, *args, iters: int = 5, warmup: int = 1) -> float:
+def time_fn(fn, *args, iters: int = 20, warmup: int = 2) -> float:
     """Sustained per-call wall time (seconds): queue `iters` calls, then
     drain with a host transfer, total/iters. Per-call sync would both pay
     the terminal's per-dispatch RPC (~2 ms, dwarfing sub-ms kernels) and
@@ -42,7 +42,7 @@ def time_fn(fn, *args, iters: int = 5, warmup: int = 1) -> float:
 
 
 def rtf_breakdown(featurize, am_forward, decode, wav, wav_lens,
-                  audio_seconds: float, iters: int = 5,
+                  audio_seconds: float, iters: int = 20,
                   with_roofline: bool = True) -> dict:
     """Times each pipeline stage separately; returns seconds + x-realtime,
     plus per-stage roofline accounting (flops, bytes, MFU — see roofline()).
