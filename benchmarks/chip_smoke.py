@@ -122,6 +122,34 @@ def main() -> int:
     check("gru_scan fwd+bwd", lambda: gru_dev(False), tol=3e-3)
     check("gru_scan_xfused fwd+bwd", lambda: gru_dev(True), tol=3e-3)
 
+    def gru_q8_dev():
+        # Grid-exact inputs (absmax exactly 127, integer entries): the
+        # dynamic quantizer is lossless, so the int8 kernel must match the
+        # f32 fused kernel to rounding — a Mosaic int8-matmul lowering
+        # gate, not a quantization-tolerance check.
+        from tpuasr.ops.pallas_gru import (gru_scan_xfused,
+                                           gru_scan_xfused_q8)
+        from tpuasr.ops.quant import quantize_per_channel
+        rq = np.random.default_rng(77)       # own stream (worklog item 43)
+        T8, B8, D8, H8 = 32, 16, 128, 128
+        xg = rq.integers(-127, 128, size=(T8, B8, D8)).astype(np.float32)
+        xg[:, :, 0] = 127.0
+        wxg = rq.integers(-8, 9, size=(D8, 3 * H8)).astype(np.float32)
+        wxg[0, :] = 127.0
+        bg = rq.standard_normal(3 * H8).astype(np.float32)
+        whg = (rq.standard_normal((H8, 3 * H8)) * 0.05).astype(np.float32)
+        lens8 = rq.integers(T8 // 2, T8 + 1, size=B8)
+        mk = jnp.asarray((np.arange(T8)[:, None] < lens8[None, :])
+                         [:, :, None].astype(np.float32))
+        wq, sw = quantize_per_channel(jnp.asarray(wxg))
+        ys_q = gru_scan_xfused_q8(jnp.asarray(xg), wq, sw, jnp.asarray(bg),
+                                  jnp.asarray(whg), mk)
+        ys_f = gru_scan_xfused(jnp.asarray(xg), jnp.asarray(wxg),
+                               jnp.asarray(bg), jnp.asarray(whg), mk)
+        return jnp.max(jnp.abs(ys_q - ys_f))
+    check("gru_scan_xfused_q8 (int8 proj, exact grid)", gru_q8_dev,
+          tol=1e-4)
+
     from tpuasr.models.layers import BiGRU
 
     def bidir_dev():

@@ -31,6 +31,10 @@ class DeepSpeechCTC(nn.Module):
     #                                stay f32; BN statistics stay f32)
     fused_bidir: bool = False      # both directions in one kernel
     fused_proj: bool = False       # input projection inside the GRU kernel
+    int8_proj: bool = False        # int8 MXU input projection; inference
+    #                                only — silently ignored when train=True
+    #                                (round() has zero gradient), so the same
+    #                                model instance trains f32 and serves int8
     # Unidirectional stack for streaming/online serving (no backward pass
     # over time, so chunks can be processed with carried GRU state).
     bidirectional: bool = True
@@ -104,12 +108,14 @@ class DeepSpeechCTC(nn.Module):
             x = MaskedBatchNorm(use_running_average=not train,
                                 axis_name=self.axis_name,
                                 name=f"rnn{i}_bn")(x, bn_mask)
+            q8 = self.int8_proj and not train
             if self.bidirectional:
                 x = BiGRU(self.rnn_hidden, name=f"rnn{i}",
                           use_pallas=self.pallas_gru,
                           bf16_kernel=self.bf16_gru,
                           fused_bidir=self.fused_bidir,
                           fused_proj=self.fused_proj,
+                          int8_proj=q8,
                           time_major=tm)(x, out_lens)
             else:
                 from tpuasr.models.layers import GRULayer
@@ -117,6 +123,7 @@ class DeepSpeechCTC(nn.Module):
                              use_pallas=self.pallas_gru,
                              bf16_kernel=self.bf16_gru,
                              fused_proj=self.fused_proj,
+                             int8_proj=q8,
                              time_major=tm)(x, out_lens)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)

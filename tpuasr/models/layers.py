@@ -91,6 +91,9 @@ class GRULayer(nn.Module):
     use_pallas: bool = False   # VMEM-resident-weights Pallas scan kernel
     bf16_kernel: bool = False  # stream xp/ys/wh in bf16 (f32 gate math)
     fused_proj: bool = False   # x@Wx inside the kernel (xp never in HBM)
+    int8_proj: bool = False    # int8 MXU input projection (inference only:
+    #                            round() kills gradients — callers gate on
+    #                            not-train; see ops/quant.py)
     # x is (T, B, D) and the output (T, B, H): the whole RNN stack can stay
     # time-major so the per-layer (B,T,·)<->(T,B,·) transposes disappear
     # (the kernels are time-major internally anyway).
@@ -117,7 +120,17 @@ class GRULayer(nn.Module):
             x_t = x if self.time_major else jnp.transpose(x, (1, 0, 2))
             mask_t = jnp.transpose(mask, (1, 0))[:, :, None].astype(
                 jnp.float32)
-            if self.fused_proj:
+            if self.int8_proj:
+                from tpuasr.ops.pallas_gru import gru_scan_xfused_q8
+                from tpuasr.ops.quant import quantize_per_channel
+                # Quantizing per call is ~1.5M VPU elements at H=512 —
+                # noise next to the matmul it accelerates; keeping the
+                # checkpoint f32 means the same weights serve both paths.
+                wxq, sw = quantize_per_channel(wx, axis=0)
+                ys = gru_scan_xfused_q8(
+                    x_t.astype(cd), wxq, sw, b, wh.astype(cd),
+                    mask_t, self.reverse)
+            elif self.fused_proj:
                 from tpuasr.ops.pallas_gru import gru_scan_xfused
                 ys = gru_scan_xfused(
                     x_t.astype(cd), wx.astype(cd), b, wh.astype(cd),
@@ -189,6 +202,7 @@ class BiGRU(nn.Module):
     use_pallas: bool = False
     bf16_kernel: bool = False
     fused_proj: bool = False
+    int8_proj: bool = False    # see GRULayer
     time_major: bool = False   # x/out are (T, B, ·); see GRULayer
     # One kernel advancing BOTH directions in lockstep: the two per-step
     # recurrent dots are independent, so the MXU pipelines one direction's
@@ -238,11 +252,13 @@ class BiGRU(nn.Module):
                        use_pallas=self.use_pallas,
                        bf16_kernel=self.bf16_kernel,
                        fused_proj=self.fused_proj,
+                       int8_proj=self.int8_proj,
                        time_major=self.time_major)(x, lengths)
         bwd = GRULayer(self.hidden, reverse=True, name="bwd",
                        use_pallas=self.use_pallas,
                        bf16_kernel=self.bf16_kernel,
                        fused_proj=self.fused_proj,
+                       int8_proj=self.int8_proj,
                        time_major=self.time_major)(x, lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)
 

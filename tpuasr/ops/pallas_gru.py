@@ -927,3 +927,148 @@ def _xf_bwd_recompute(res, dys, reverse=False):
 
 
 gru_scan_xfused.defvjp(_xf_fwd, _xf_bwd)
+
+
+# ---------------------------------------------------------------------------
+# int8 fused input projection (inference serving path)
+# ---------------------------------------------------------------------------
+#
+# The input projections are ~60% of the whole decode pipeline's FLOPs at the
+# headline shapes (B=128, H=512, 4 BiGRU layers), and the v5e MXU runs int8
+# at 2x the bf16 rate.  This forward-only variant of the fused-projection
+# scan takes PRE-QUANTIZED per-output-channel int8 weights (wxq, sw — see
+# tpuasr.ops.quant.quantize_per_channel) and quantizes each activation row
+# dynamically in VMEM (symmetric absmax int8), so the projection matmul is
+# int8 x int8 -> int32 on the MXU:
+#
+#   xp[i, j] = (sum_d xq[i, d] * wxq[d, j]) * sx[i] * sw[j] + b[j]
+#
+# |acc| <= D * 127^2 stays below 2^24 for D <= 1040, so the int32 -> f32
+# dequant is EXACT at the supported shapes; all error comes from the two
+# rounding steps, which per-row/per-channel scaling keeps at ~1e-2 relative.
+# Gate math and the recurrent (B,H)@(H,3H) matmul are untouched (f32/cd) —
+# the recurrent path is latency-bound, not MXU-rate-bound, and keeping it
+# high-precision avoids compounding quantization noise through the
+# recurrence.  Inference only: round() has zero gradient, so there is no
+# VJP — training uses gru_scan_xfused.
+
+
+def _t_blk_xf_q8(B: int, D: int, H: int, cd_bytes: int) -> int:
+    """Like _t_blk_xf but the resident wx is int8 (1 byte) and wh rides at
+    the compute dtype — the halved residency buys a larger time block."""
+    fixed = D * 3 * H + H * 3 * H * cd_bytes + 2 * 3 * H * 4   # wxq+wh+sw/b
+    budget = max(2 ** 20, 12 * 2 ** 20 - fixed)
+    per_t = B * (D + H) * 4 * 2 * 2            # x in + ys out, double-buf
+    return _pow2_floor(max(1, min(16, budget // max(per_t, 1))))
+
+
+def _fwd_xf_q8_kernel(H, T_BLK, reverse, x_ref, wxq_ref, sw_ref, b_ref,
+                      wh_ref, mask_ref, ys_ref, h_scr):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    xb = x_ref[:]                               # (T_BLK, B, D)
+    TB, B, D = xb.shape
+    X = xb.reshape(TB * B, D).astype(jnp.float32)
+    # Dynamic symmetric per-row quantization. Zero rows (padding) get
+    # sx = eps/127 and xq = 0, reproducing the f32 path's 0 @ W + b.
+    a = jnp.max(jnp.abs(X), axis=1, keepdims=True)           # (rows, 1)
+    sx = jnp.maximum(a, 1e-12) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(X / sx), -127.0, 127.0).astype(jnp.int8)
+    acc = jnp.dot(xq, wxq_ref[:], preferred_element_type=jnp.int32)
+    xp = acc.astype(jnp.float32) * sx * sw_ref[:] + b_ref[:]
+    xp = xp.reshape(TB, B, 3 * H)
+
+    # Static unroll — same Mosaic no-dynamic_slice-on-values constraint as
+    # the f32 fused forward.
+    h = h_scr[:]
+    order = range(T_BLK - 1, -1, -1) if reverse else range(T_BLK)
+    for tt in order:
+        hp = jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                     preferred_element_type=jnp.float32)
+        r, z, n = _gates(xp[tt], hp, H)
+        h_new = (1.0 - z) * n + z * h
+        m = mask_ref[tt]
+        h = m * h_new + (1.0 - m) * h
+        ys_ref[tt] = h.astype(ys_ref.dtype)
+    h_scr[:] = h
+
+
+@functools.lru_cache(maxsize=32)
+def _build_fwd_xf_q8(T: int, B: int, D: int, H: int, interpret: bool = False,
+                     dtype: str = "float32", reverse: bool = False):
+    io = jnp.dtype(dtype)
+    T_BLK = _t_blk_xf_q8(B, D, H, io.itemsize)
+    n_tb = T // T_BLK
+    tmap = ((lambda t: (n_tb - 1 - t, 0, 0)) if reverse
+            else (lambda t: (t, 0, 0)))
+    return pl.pallas_call(
+        functools.partial(_fwd_xf_q8_kernel, H, T_BLK, reverse),
+        grid=(n_tb,),
+        in_specs=[
+            pl.BlockSpec((T_BLK, B, D), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, B, 1), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T_BLK, B, H), tmap,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), io),
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+def gru_scan_xfused_q8(x, wxq, sw, b, wh, mask, reverse=False):
+    """Inference-only GRU scan with an int8 in-kernel input projection.
+
+    x (T, B, D), wxq (D, 3H) int8, sw (3H,) f32 per-output-channel scales,
+    b (3H,), wh (H, 3H), mask (T, B, 1) -> ys (T, B, H).  Numerics match
+    gru_scan_xfused up to the int8 activation/weight rounding (exact when
+    both grids are representable — see tests/test_quant_gru.py).
+    """
+    if wxq.dtype != jnp.int8:
+        raise ValueError(f"wxq must be int8, got {wxq.dtype}")
+    T, B, D = x.shape
+    H = wh.shape[0]
+    if D > 1040:
+        raise ValueError(
+            f"int8 projection supports D <= 1040 (exact int32->f32 dequant); "
+            f"got D={D}")
+    Bp = _round_up(B, 8)
+    Dp = _round_up(D, 128)
+    Hp = _round_up(H, 128)
+    io = jnp.dtype(x.dtype)
+    Tp = _round_up(T, _t_blk_xf_q8(Bp, Dp, Hp, io.itemsize))
+    interp = jax.default_backend() != "tpu"
+    if (Tp, Bp, Dp, Hp) == (T, B, D, H):
+        return _build_fwd_xf_q8(T, B, D, H, interp, str(x.dtype), reverse)(
+            x, wxq, sw.astype(jnp.float32)[None, :],
+            b.astype(jnp.float32)[None, :], wh, mask.astype(jnp.float32))
+    x_p = jnp.zeros((Tp, Bp, Dp), x.dtype).at[:T, :B, :D].set(x)
+    wxq_p = jnp.zeros((Dp, 3 * Hp), jnp.int8)
+    sw_p = jnp.zeros((1, 3 * Hp), jnp.float32)
+    b_p = jnp.zeros((1, 3 * Hp), jnp.float32)
+    for g in range(3):
+        wxq_p = wxq_p.at[:D, g * Hp:g * Hp + H].set(
+            wxq[:, g * H:(g + 1) * H])
+        sw_p = sw_p.at[0, g * Hp:g * Hp + H].set(
+            sw[g * H:(g + 1) * H].astype(jnp.float32))
+        b_p = b_p.at[0, g * Hp:g * Hp + H].set(
+            b[g * H:(g + 1) * H].astype(jnp.float32))
+    wh_p = jnp.zeros((Hp, 3 * Hp), wh.dtype)
+    for g in range(3):
+        wh_p = wh_p.at[:H, g * Hp:g * Hp + H].set(
+            wh[:, g * H:(g + 1) * H])
+    mask_p = jnp.zeros((Tp, Bp, 1), jnp.float32).at[:T, :B].set(
+        mask.astype(jnp.float32))
+    ys = _build_fwd_xf_q8(Tp, Bp, Dp, Hp, interp, str(x.dtype), reverse)(
+        x_p, wxq_p, sw_p, b_p, wh_p, mask_p)
+    return ys[:T, :B, :H]
