@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--inject-bug", action="store_true",
                     help="break the XLA beam merge (logsumexp->max) to "
                          "verify the harness detects scoring bugs")
+    ap.add_argument("--int8", action="store_true",
+                    help="also score the int8_proj quantized serving path "
+                         "(same checkpoint; reports the int8 WER delta)")
     ap.add_argument("--soft-epochs", type=int, default=6,
                     help="snapshot the AM at this epoch for the SOFT "
                          "operating point (posteriors still ambiguous, "
@@ -216,12 +219,13 @@ def main():
                                  .tolist())
                 hyp["hg"].append(hg_t[j][:hg_l[j]].tolist())
 
-    def decode_pass(vs, beam_only=False):
+    def decode_pass(vs, beam_only=False, fwd=None):
         """greedy + XLA-beam + Pallas-beam hypotheses for one param set."""
+        fwd = forward if fwd is None else fwd
         o = {"g": [], "bx": [], "bp": []}
         for batch in eval_loader:
-            logp, out_lens = forward(vs, jnp.asarray(batch["wav"]),
-                                     jnp.asarray(batch["wav_lens"]))
+            logp, out_lens = fwd(vs, jnp.asarray(batch["wav"]),
+                                 jnp.asarray(batch["wav_lens"]))
             g_t, g_l = greedy_decode(logp, out_lens)
             dec = {"bx": ctc_beam_search(logp, out_lens, bs_cfg)}
             if not beam_only:
@@ -297,6 +301,31 @@ def main():
         base = out.get("wer_beam_soft", out["wer_beam_xla"])
         out["wer_beam_bugged"] = round(wer(word_refs, bug_words), 4)
         out["bug_moves_wer"] = round(out["wer_beam_bugged"] - base, 4)
+    if args.int8:
+        # Quantized serving path on the SAME checkpoint: int8 MXU input
+        # projections (gru_scan_xfused_q8). The delta vs the f32 decode is
+        # the cost of quantization at the north star's WER resolution.
+        from tpuasr.models import create_model
+        m_q8 = create_model("deepspeech_ctc", num_classes=V,
+                            **{**cfg.model_kwargs, "pallas_gru": True,
+                               "fused_proj": True, "int8_proj": True})
+
+        @jax.jit
+        def forward_q8(vs, wav, lens):
+            feats, flens = trainer.featurizer._featurize(wav, lens)
+            return m_q8.apply(vs, feats, flens, train=False)
+
+        q8 = decode_pass(variables, beam_only=True, fwd=forward_q8)
+        q8_words = {k: [lexdec.decode(h) for h in v]
+                    for k, v in q8.items() if v}
+        out["wer_int8_greedy"] = round(wer(word_refs, q8_words["g"]), 4)
+        out["wer_int8_beam"] = round(wer(word_refs, q8_words["bx"]), 4)
+        out["int8_delta_greedy"] = round(
+            out["wer_int8_greedy"] - wwer["g"], 4)
+        out["int8_delta_beam"] = round(
+            out["wer_int8_beam"] - wwer["bx"], 4)
+        out["int8_delta_ci95_paired"] = round(_paired_delta_ci95(
+            word_refs, q8_words["bx"], word_hyps["bx"]), 4)
     out["lm_gain_bigram"] = round(wwer["bx"] - wwer["f2"], 4)
     out["lm_gain_trigram"] = round(wwer["bx"] - wwer["f3"], 4)
     out["pallas_vs_xla_agree"] = round(float(np.mean(

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "alignment of the best hypothesis (the reference "
                         "latgen path returned (words, alignments); "
                         "SURVEY.md section 3.4)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve with int8 MXU input projections (quantized "
+                        "serving path, DeepSpeech-family models; same "
+                        "checkpoint — see tpuasr/ops/quant.py)")
     p.add_argument("--dump-loglikes", metavar="PREFIX", default=None,
                    help="also write per-wav AM log-probs to PREFIX.ark/.scp "
                         "(Kaldi binary FM, keys = wav basenames — the "
@@ -65,9 +69,12 @@ def main(argv=None) -> int:
         raise SystemExit("checkpoint lacks num_classes; pass --units")
     feat_cfg = (FeatureConfig(**meta["feature"]) if meta.get("feature")
                 else feature_config(args))
+    model_kwargs = dict(meta.get("model_kwargs", {}))
+    if getattr(args, "int8", False):
+        model_kwargs.update(pallas_gru=True, fused_proj=True,
+                            int8_proj=True)
     model = create_model(meta.get("model", args.model),
-                         num_classes=num_classes,
-                         **meta.get("model_kwargs", {}))
+                         num_classes=num_classes, **model_kwargs)
     fz = Featurizer(feat_cfg)
 
     from tpuasr.data.manifest import load_wav

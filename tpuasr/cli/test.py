@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beam-impl", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="beam search implementation (pallas = TPU kernel)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve with int8 MXU input projections (quantized "
+                        "serving path, DeepSpeech-family models; same "
+                        "checkpoint — see tpuasr/ops/quant.py)")
     p.add_argument("--dump-loglikes", metavar="PREFIX", default=None,
                    help="also write per-utterance AM log-probs to "
                         "PREFIX.ark/.scp (Kaldi binary FM — the reference's "
@@ -72,9 +76,13 @@ def main(argv=None) -> int:
         raise SystemExit("checkpoint lacks num_classes; pass --units")
     feat_cfg = (FeatureConfig(**meta["feature"]) if meta.get("feature")
                 else feature_config(args))
+    model_kwargs = dict(meta.get("model_kwargs", {}))
+    if getattr(args, "int8", False):
+        model_kwargs.update(pallas_gru=True, fused_proj=True,
+                            int8_proj=True)
     model = create_model(meta.get("model", args.model),
                          num_classes=num_classes,
-                         **meta.get("model_kwargs", {}))
+                         **model_kwargs)
     fz = Featurizer(feat_cfg)
     loader = AudioLoader(args.manifest,
                          LoaderConfig(batch_size=args.batch_size,
