@@ -165,3 +165,45 @@ def test_reject_garbage(tmp_path):
     p.write_bytes(b"\x01\x02\x03\x04garbage-not-an-fst")
     with pytest.raises(ValueError):
         WFST.load(p)          # not magic -> text parse -> unparseable
+
+
+def _random_wfst(rng, n_states=12, n_arcs=40, n_syms=6):
+    fst = WFST(start=int(rng.integers(n_states)))
+    for _ in range(n_arcs):
+        fst.add_arc(int(rng.integers(n_states)), int(rng.integers(n_states)),
+                    int(rng.integers(n_syms + 1)),      # incl. eps
+                    int(rng.integers(n_syms + 1)),
+                    float(np.round(rng.uniform(0, 4), 3)))
+    for s in rng.choice(n_states, size=3, replace=False):
+        fst.set_final(int(s), float(np.round(rng.uniform(0, 2), 3)))
+    # Text format cannot express an arc-less non-final start; make sure the
+    # start is mentionable.
+    if fst.start not in fst.arcs and fst.start not in fst.finals:
+        fst.set_final(fst.start, 0.0)
+    return fst
+
+
+def test_roundtrip_property_binary_and_text(tmp_path):
+    """Random WFSTs: save->load (both formats) preserves shortest-path
+    scores AND transductions for random input strings."""
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        fst = _random_wfst(rng)
+        pb = tmp_path / f"g{trial}.fst"
+        pt = tmp_path / f"g{trial}.txt"
+        fst.save_binary(pb)
+        fst.save_text(pt)
+        back_b = WFST.load(pb)      # autodetect binary
+        back_t = WFST.load(pt)      # autodetect text
+        assert back_b.start == fst.start
+        assert back_t.start == fst.start
+        for _ in range(12):
+            seq = rng.integers(1, 7, size=rng.integers(0, 5)).tolist()
+            c0, o0 = fst.score(seq)
+            for back in (back_b, back_t):
+                c1, o1 = back.score(seq)
+                if c0 == float("inf"):
+                    assert c1 == float("inf")
+                else:
+                    assert abs(c0 - c1) < 1e-4 and o0 == o1, (
+                        trial, seq, c0, c1, o0, o1)
