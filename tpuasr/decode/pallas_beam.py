@@ -261,8 +261,10 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
                 taken = taken | tk
             # Class lane of the winning array's max: mask losing arrays to
             # NEG_INF and argmax the union (exactly one array is unmasked
-            # per row, so this is that array's first-max lane).
-            sel_rank = jnp.full((B_BLK, LANES), NEG_INF)
+            # per row, so this is that array's first-max lane). CLASS-lane
+            # width (C_pad may exceed the 128 beam lanes — C=200 regression,
+            # round-3 slow tier).
+            sel_rank = jnp.full(ranks[0].shape, NEG_INF)
             for k in range(K):
                 sel_rank = jnp.maximum(
                     sel_rank, jnp.where(take_ext[k], ranks[k], NEG_INF))

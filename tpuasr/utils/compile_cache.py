@@ -12,11 +12,39 @@ Opt out with TPUASR_JAX_CACHE=0; point elsewhere with TPUASR_JAX_CACHE=/path.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 from pathlib import Path
 
 _DEFAULT = Path.home() / ".cache" / "tpuasr" / "jax"
 _enabled = False
+
+
+def _host_fingerprint() -> str:
+    """Stable fingerprint of this host's CPU feature set.
+
+    XLA:CPU caches AOT-compiled machine code whose cache key does NOT
+    include the host's CPU features; an entry compiled on a host with a
+    different feature set (e.g. avx512 + prefer-no-scatter) loads with a
+    cpu_aot_loader machine-mismatch warning and can then SIGILL/SIGSEGV
+    (measured: a segfault inside get_executable_and_time killed the test
+    suite mid-run after the sandbox moved hosts). Scoping the cache dir by
+    this fingerprint makes cross-host entries invisible instead of fatal.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                feats = ""
+    except OSError:
+        feats = ""
+    digest = hashlib.sha256(
+        (platform.machine() + "|" + feats).encode()).hexdigest()
+    return f"h-{digest[:12]}"
 
 
 def _repair_lru_metadata(path: Path) -> None:
@@ -53,7 +81,9 @@ def enable_compilation_cache() -> str | None:
     env = os.environ.get("TPUASR_JAX_CACHE", "")
     if env == "0":
         return None
-    path = Path(env) if env else _DEFAULT
+    # Host-feature subdirectory: entries AOT-compiled by a host with a
+    # different CPU feature set must never load (see _host_fingerprint).
+    path = (Path(env) if env else _DEFAULT) / _host_fingerprint()
     if _enabled:
         return str(path)
     try:
