@@ -13,38 +13,19 @@ BASELINE.md). value = seconds of audio decoded per wall-clock second.
 
 import json
 import os
-import subprocess
 import sys
 import time
 
 import numpy as np
 
 
-def _probe_tpu(timeout_s: float = 180.0) -> bool:
-    """True iff the TPU backend initializes AND completes one op + host
-    transfer in a fresh subprocess within the timeout.
-
-    The axon tunnel can wedge in ways that hang ``jax.default_backend()``
-    itself indefinitely (observed 2026-08-17: backend init blocked >10 min,
-    0% CPU).  Probing in-process would wedge *this* process too; a
-    subprocess bounds the damage to ``timeout_s`` and leaves the parent free
-    to fall back to CPU so the driver always gets its one JSON line.
-    """
-    code = ("import jax, numpy as np, jax.numpy as jnp;"
-            "assert jax.default_backend() == 'tpu', jax.default_backend();"
-            "print(int(np.asarray(jnp.ones((8, 128)).sum())))")
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True,
-                              timeout=timeout_s)
-    except (subprocess.TimeoutExpired, OSError):
-        return False
-    return proc.returncode == 0 and proc.stdout.strip().endswith("1024")
-
-
 def main() -> int:
+    # Wedged-tunnel guard: a CPU fallback (labeled in the JSON) beats an
+    # unbounded hang under the driver — see tpuasr/utils/tpu_probe.py.
+    from tpuasr.utils.tpu_probe import probe_tpu
+
     want_cpu = os.environ.get("TPUASR_PLATFORM") == "cpu"
-    tpu_ok = (not want_cpu) and _probe_tpu()
+    tpu_ok = (not want_cpu) and probe_tpu()
 
     from tpuasr.utils.compile_cache import enable_compilation_cache
 

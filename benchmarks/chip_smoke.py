@@ -22,6 +22,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
+    from tpuasr.utils.tpu_probe import probe_tpu_status
+
+    status = probe_tpu_status()
+    if status == "wedged":
+        # Fail FAST: a wedged axon tunnel otherwise hangs backend init
+        # itself indefinitely (round-3 outage, WORKLOG 46).
+        print("FAIL: TPU probe timed out — tunnel down/wedged "
+              "(this script checks Mosaic lowering on real hardware)")
+        return 2
+    if status == "no_tpu":
+        print("SKIP: no TPU backend (this script checks Mosaic lowering)")
+        return 0
+
     from tpuasr.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
