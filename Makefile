@@ -8,9 +8,12 @@ PY ?= python
 test:
 	$(PY) -m pytest tests/ -q
 
-# Full suite including the slow tier (~30 min on one core).
+# Full suite including the slow tier (~30-45 min on one core). One pytest
+# PROCESS PER FILE: a single-process full run segfaulted twice inside
+# jax's persistent-cache executable (de)serialization once enough process
+# state accumulated (round-3, tests/run_sharded.py docstring).
 test-all:
-	$(PY) -m pytest tests/ -q --runslow
+	$(PY) tests/run_sharded.py --runslow
 
 # HARDWARE TRUTH: compiles + parity-checks every Pallas kernel fwd+bwd on
 # the real chip (interpret mode skips Mosaic lowering — CPU tests can all
