@@ -133,7 +133,7 @@ def main() -> int:
     except Exception as e:
         rl = {"error": str(e)}
 
-    print(json.dumps({
+    record = {
         "metric": "decode_rtf_x",
         "value": round(rtf_x, 2),
         "unit": "x_realtime",
@@ -146,7 +146,12 @@ def main() -> int:
         # tunnel) and the run fell back — a labeled, bounded-time degradation
         # instead of an unbounded hang under the driver.
         "backend": jax.default_backend(),
-    }))
+    }
+    if record["backend"] != "tpu" and not want_cpu:
+        record["note"] = (f"TPU probe failed (wedged axon tunnel); single-"
+                          f"core CPU fallback at B={B} — not a chip "
+                          "measurement. Last chip headline: BENCH_r02.json.")
+    print(json.dumps(record))
     return 0
 
 
