@@ -68,11 +68,13 @@ def main() -> int:
     # measured AM 59.5 -> 44.7 ms at these shapes on v5e.
     # --int8: quantized-serving A/B — int8 MXU input projections (the
     # pipeline's largest FLOP block) via gru_scan_xfused_q8.
-    int8 = "--int8" in sys.argv
+    int8 = "--int8" in sys.argv or "--int8-rec" in sys.argv
+    int8_rec = "--int8-rec" in sys.argv
     model = create_model("deepspeech_ctc", num_classes=NUM_CLASSES,
                          rnn_hidden=512, rnn_layers=4, pallas_gru=on_tpu,
                          bf16_gru=on_tpu, fused_proj=on_tpu,
-                         int8_proj=int8 and on_tpu)
+                         int8_proj=int8 and on_tpu,
+                         int8_rec=int8_rec and on_tpu)
 
     rng = np.random.default_rng(0)
     wav = rng.standard_normal((B, S)).astype(np.float32) * 0.1

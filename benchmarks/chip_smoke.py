@@ -159,8 +159,18 @@ def main() -> int:
                                   jnp.asarray(whg), mk)
         ys_f = gru_scan_xfused(jnp.asarray(xg), jnp.asarray(wxg),
                                jnp.asarray(bg), jnp.asarray(whg), mk)
-        return jnp.max(jnp.abs(ys_q - ys_f))
-    check("gru_scan_xfused_q8 (int8 proj, exact grid)", gru_q8_dev,
+        dev = jnp.max(jnp.abs(ys_q - ys_f))
+        # int8 recurrence: compiled kernel vs the pure-jnp reference of the
+        # SAME quantized math (fp-rounding-level agreement required).
+        from tpuasr.ops.quant import reference_q8_gru_scan
+        whq, swh = quantize_per_channel(jnp.asarray(whg))
+        ys_kr = gru_scan_xfused_q8(jnp.asarray(xg), wq, sw, jnp.asarray(bg),
+                                   whq, mk, wh_scale=swh)
+        ys_rr = reference_q8_gru_scan(jnp.asarray(xg), wq, sw,
+                                      jnp.asarray(bg), whq, mk,
+                                      wh_scale=swh)
+        return jnp.maximum(dev, jnp.max(jnp.abs(ys_kr - ys_rr)))
+    check("gru_scan_xfused_q8 (int8 proj + rec, exact grid)", gru_q8_dev,
           tol=1e-4)
 
     from tpuasr.models.layers import BiGRU

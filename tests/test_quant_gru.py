@@ -161,3 +161,73 @@ def test_model_int8_proj_close_to_f32_and_train_ignores_it():
     for a, c in zip(flat_q, flat_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_q8_kernel_matches_reference_both_modes():
+    """The Pallas kernel must reproduce the pure-jnp reference of the SAME
+    quantized math to fp rounding — proj-only and proj+recurrent modes."""
+    from tpuasr.ops.quant import reference_q8_gru_scan
+    T, B, D, H = 16, 8, 256, 128
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+    wx = jnp.asarray(
+        rng.standard_normal((D, 3 * H)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(3 * H).astype(np.float32) * 0.1)
+    wh = jnp.asarray(
+        rng.standard_normal((H, 3 * H)).astype(np.float32) * 0.05)
+    mask = _mask(T, B, rng.integers(T // 2, T + 1, size=B))
+    wxq, sw = quantize_per_channel(wx)
+    whq, swh = quantize_per_channel(wh)
+    for reverse in (False, True):
+        ys_k = gru_scan_xfused_q8(x, wxq, sw, b, wh, mask, reverse=reverse)
+        ys_r = reference_q8_gru_scan(x, wxq, sw, b, wh, mask,
+                                     reverse=reverse)
+        np.testing.assert_allclose(np.asarray(ys_k), np.asarray(ys_r),
+                                   rtol=2e-5, atol=2e-5)
+        ys_k2 = gru_scan_xfused_q8(x, wxq, sw, b, whq, mask,
+                                   reverse=reverse, wh_scale=swh)
+        ys_r2 = reference_q8_gru_scan(x, wxq, sw, b, whq, mask,
+                                      reverse=reverse, wh_scale=swh)
+        np.testing.assert_allclose(np.asarray(ys_k2), np.asarray(ys_r2),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_q8_rec_error_bounded_vs_f32():
+    """int8 recurrence compounds per-step quantization; stays bounded."""
+    T, B, D, H = 16, 8, 256, 128
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+    wx = jnp.asarray(
+        rng.standard_normal((D, 3 * H)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(3 * H).astype(np.float32) * 0.1)
+    wh = jnp.asarray(
+        rng.standard_normal((H, 3 * H)).astype(np.float32) * 0.05)
+    mask = _mask(T, B, rng.integers(T // 2, T + 1, size=B))
+    wxq, sw = quantize_per_channel(wx)
+    whq, swh = quantize_per_channel(wh)
+    ys_q = np.asarray(gru_scan_xfused_q8(x, wxq, sw, b, whq, mask,
+                                         wh_scale=swh))
+    ys_f = np.asarray(gru_scan_xfused(x, wx, b, wh, mask))
+    assert np.abs(ys_q - ys_f).mean() < 0.03
+    assert np.corrcoef(ys_q.ravel(), ys_f.ravel())[0, 1] > 0.99
+
+
+def test_model_int8_rec_runs():
+    from tpuasr.models import create_model
+    import jax
+
+    B, T, F, C = 2, 37, 32, 16
+    kw = dict(num_classes=C, rnn_hidden=64, rnn_layers=2, conv_channels=8,
+              dropout=0.0, pallas_gru=True, fused_proj=True)
+    m_f = create_model("deepspeech_ctc", **kw)
+    m_q = create_model("deepspeech_ctc", **{**kw, "int8_rec": True})
+    rng = np.random.default_rng(9)
+    feats = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+    lens = jnp.asarray(np.array([T, T - 9], np.int32))
+    variables = m_f.init(jax.random.PRNGKey(0), feats, lens, train=False)
+    lp_f, ol = m_f.apply(variables, feats, lens, train=False)
+    lp_q, _ = m_q.apply(variables, feats, lens, train=False)
+    assert np.isfinite(np.asarray(lp_q)).all()
+    valid = np.arange(lp_f.shape[1])[None, :] < np.asarray(ol)[:, None]
+    agree = (np.asarray(lp_q).argmax(-1) == np.asarray(lp_f).argmax(-1))
+    assert agree[valid].mean() > 0.9

@@ -35,6 +35,8 @@ class DeepSpeechCTC(nn.Module):
     #                                only — silently ignored when train=True
     #                                (round() has zero gradient), so the same
     #                                model instance trains f32 and serves int8
+    int8_rec: bool = False         # ALSO int8 recurrent matmuls (implies
+    #                                int8_proj; per-step h requantization)
     # Unidirectional stack for streaming/online serving (no backward pass
     # over time, so chunks can be processed with carried GRU state).
     bidirectional: bool = True
@@ -108,14 +110,15 @@ class DeepSpeechCTC(nn.Module):
             x = MaskedBatchNorm(use_running_average=not train,
                                 axis_name=self.axis_name,
                                 name=f"rnn{i}_bn")(x, bn_mask)
-            q8 = self.int8_proj and not train
+            q8 = (self.int8_proj or self.int8_rec) and not train
+            q8r = self.int8_rec and not train
             if self.bidirectional:
                 x = BiGRU(self.rnn_hidden, name=f"rnn{i}",
                           use_pallas=self.pallas_gru,
                           bf16_kernel=self.bf16_gru,
                           fused_bidir=self.fused_bidir,
                           fused_proj=self.fused_proj,
-                          int8_proj=q8,
+                          int8_proj=q8, int8_rec=q8r,
                           time_major=tm)(x, out_lens)
             else:
                 from tpuasr.models.layers import GRULayer
@@ -123,7 +126,7 @@ class DeepSpeechCTC(nn.Module):
                              use_pallas=self.pallas_gru,
                              bf16_kernel=self.bf16_gru,
                              fused_proj=self.fused_proj,
-                             int8_proj=q8,
+                             int8_proj=q8, int8_rec=q8r,
                              time_major=tm)(x, out_lens)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -94,6 +94,9 @@ class GRULayer(nn.Module):
     int8_proj: bool = False    # int8 MXU input projection (inference only:
     #                            round() kills gradients — callers gate on
     #                            not-train; see ops/quant.py)
+    int8_rec: bool = False     # ALSO run the recurrent matmul in int8
+    #                            (requires int8_proj; h re-quantized per
+    #                            step — chip A/B decides if it ships)
     # x is (T, B, D) and the output (T, B, H): the whole RNN stack can stay
     # time-major so the per-layer (B,T,·)<->(T,B,·) transposes disappear
     # (the kernels are time-major internally anyway).
@@ -127,9 +130,15 @@ class GRULayer(nn.Module):
                 # noise next to the matmul it accelerates; keeping the
                 # checkpoint f32 means the same weights serve both paths.
                 wxq, sw = quantize_per_channel(wx, axis=0)
-                ys = gru_scan_xfused_q8(
-                    x_t.astype(cd), wxq, sw, b, wh.astype(cd),
-                    mask_t, self.reverse)
+                if self.int8_rec:
+                    whq, swh = quantize_per_channel(wh, axis=0)
+                    ys = gru_scan_xfused_q8(
+                        x_t.astype(cd), wxq, sw, b, whq,
+                        mask_t, self.reverse, wh_scale=swh)
+                else:
+                    ys = gru_scan_xfused_q8(
+                        x_t.astype(cd), wxq, sw, b, wh.astype(cd),
+                        mask_t, self.reverse)
             elif self.fused_proj:
                 from tpuasr.ops.pallas_gru import gru_scan_xfused
                 ys = gru_scan_xfused(
@@ -203,6 +212,7 @@ class BiGRU(nn.Module):
     bf16_kernel: bool = False
     fused_proj: bool = False
     int8_proj: bool = False    # see GRULayer
+    int8_rec: bool = False     # see GRULayer
     time_major: bool = False   # x/out are (T, B, ·); see GRULayer
     # One kernel advancing BOTH directions in lockstep: the two per-step
     # recurrent dots are independent, so the MXU pipelines one direction's
@@ -253,12 +263,14 @@ class BiGRU(nn.Module):
                        bf16_kernel=self.bf16_kernel,
                        fused_proj=self.fused_proj,
                        int8_proj=self.int8_proj,
+                       int8_rec=self.int8_rec,
                        time_major=self.time_major)(x, lengths)
         bwd = GRULayer(self.hidden, reverse=True, name="bwd",
                        use_pallas=self.use_pallas,
                        bf16_kernel=self.bf16_kernel,
                        fused_proj=self.fused_proj,
                        int8_proj=self.int8_proj,
+                       int8_rec=self.int8_rec,
                        time_major=self.time_major)(x, lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)
 

@@ -962,8 +962,17 @@ def _t_blk_xf_q8(B: int, D: int, H: int, cd_bytes: int) -> int:
     return _pow2_floor(max(1, min(16, budget // max(per_t, 1))))
 
 
-def _fwd_xf_q8_kernel(H, T_BLK, reverse, x_ref, wxq_ref, sw_ref, b_ref,
-                      wh_ref, mask_ref, ys_ref, h_scr):
+def _quant_rows(X):
+    """Symmetric per-row int8: (rows, D) f32 -> (int8 rows, f32 scales).
+    Zero rows get scale eps/127 and quantize to 0 (reproducing 0 @ W)."""
+    a = jnp.max(jnp.abs(X), axis=1, keepdims=True)           # (rows, 1)
+    s = jnp.maximum(a, 1e-12) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(X / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _fwd_xf_q8_kernel(H, T_BLK, reverse, rec_q8, x_ref, wxq_ref, sw_ref,
+                      b_ref, wh_ref, swh_ref, mask_ref, ys_ref, h_scr):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
@@ -971,11 +980,7 @@ def _fwd_xf_q8_kernel(H, T_BLK, reverse, x_ref, wxq_ref, sw_ref, b_ref,
     xb = x_ref[:]                               # (T_BLK, B, D)
     TB, B, D = xb.shape
     X = xb.reshape(TB * B, D).astype(jnp.float32)
-    # Dynamic symmetric per-row quantization. Zero rows (padding) get
-    # sx = eps/127 and xq = 0, reproducing the f32 path's 0 @ W + b.
-    a = jnp.max(jnp.abs(X), axis=1, keepdims=True)           # (rows, 1)
-    sx = jnp.maximum(a, 1e-12) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(X / sx), -127.0, 127.0).astype(jnp.int8)
+    xq, sx = _quant_rows(X)
     acc = jnp.dot(xq, wxq_ref[:], preferred_element_type=jnp.int32)
     xp = acc.astype(jnp.float32) * sx * sw_ref[:] + b_ref[:]
     xp = xp.reshape(TB, B, 3 * H)
@@ -985,8 +990,16 @@ def _fwd_xf_q8_kernel(H, T_BLK, reverse, x_ref, wxq_ref, sw_ref, b_ref,
     h = h_scr[:]
     order = range(T_BLK - 1, -1, -1) if reverse else range(T_BLK)
     for tt in order:
-        hp = jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
-                     preferred_element_type=jnp.float32)
+        if rec_q8:
+            # int8 recurrent matmul: per-step dynamic quantization of h.
+            # Whether this wins depends on the per-step critical path
+            # being MXU-bound — opt-in, A/B'd on chip (KERNELS.md §6).
+            hq, sh = _quant_rows(h)
+            hacc = jnp.dot(hq, wh_ref[:], preferred_element_type=jnp.int32)
+            hp = hacc.astype(jnp.float32) * sh * swh_ref[:]
+        else:
+            hp = jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                         preferred_element_type=jnp.float32)
         r, z, n = _gates(xp[tt], hp, H)
         h_new = (1.0 - z) * n + z * h
         m = mask_ref[tt]
@@ -997,14 +1010,15 @@ def _fwd_xf_q8_kernel(H, T_BLK, reverse, x_ref, wxq_ref, sw_ref, b_ref,
 
 @functools.lru_cache(maxsize=32)
 def _build_fwd_xf_q8(T: int, B: int, D: int, H: int, interpret: bool = False,
-                     dtype: str = "float32", reverse: bool = False):
+                     dtype: str = "float32", reverse: bool = False,
+                     rec_q8: bool = False):
     io = jnp.dtype(dtype)
     T_BLK = _t_blk_xf_q8(B, D, H, io.itemsize)
     n_tb = T // T_BLK
     tmap = ((lambda t: (n_tb - 1 - t, 0, 0)) if reverse
             else (lambda t: (t, 0, 0)))
     return pl.pallas_call(
-        functools.partial(_fwd_xf_q8_kernel, H, T_BLK, reverse),
+        functools.partial(_fwd_xf_q8_kernel, H, T_BLK, reverse, rec_q8),
         grid=(n_tb,),
         in_specs=[
             pl.BlockSpec((T_BLK, B, D), tmap, memory_space=pltpu.VMEM),
@@ -1016,6 +1030,8 @@ def _build_fwd_xf_q8(T: int, B: int, D: int, H: int, interpret: bool = False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((T_BLK, B, 1), tmap, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((T_BLK, B, H), tmap,
@@ -1026,13 +1042,18 @@ def _build_fwd_xf_q8(T: int, B: int, D: int, H: int, interpret: bool = False,
     )
 
 
-def gru_scan_xfused_q8(x, wxq, sw, b, wh, mask, reverse=False):
+def gru_scan_xfused_q8(x, wxq, sw, b, wh, mask, reverse=False,
+                       wh_scale=None):
     """Inference-only GRU scan with an int8 in-kernel input projection.
 
     x (T, B, D), wxq (D, 3H) int8, sw (3H,) f32 per-output-channel scales,
     b (3H,), wh (H, 3H), mask (T, B, 1) -> ys (T, B, H).  Numerics match
     gru_scan_xfused up to the int8 activation/weight rounding (exact when
     both grids are representable — see tests/test_quant_gru.py).
+
+    wh_scale: per-channel scales (3H,) to ALSO run the recurrent matmul in
+    int8 (wh must then be int8); the hidden state is re-quantized per step.
+    Exact reference: tpuasr.ops.quant.reference_q8_gru_scan.
     """
     if wxq.dtype != jnp.int8:
         raise ValueError(f"wxq must be int8, got {wxq.dtype}")
@@ -1042,6 +1063,19 @@ def gru_scan_xfused_q8(x, wxq, sw, b, wh, mask, reverse=False):
         raise ValueError(
             f"int8 projection supports D <= 1040 (exact int32->f32 dequant); "
             f"got D={D}")
+    rec_q8 = wh_scale is not None
+    if rec_q8:
+        if wh.dtype != jnp.int8:
+            raise ValueError(
+                f"wh must be int8 when wh_scale is given, got {wh.dtype}")
+        if H > 1040:
+            raise ValueError(
+                f"int8 recurrence supports H <= 1040, got H={H}")
+        swh = wh_scale
+    else:
+        # Dummy unit scales: the kernel signature is static; the rec_q8
+        # branch (and this input's lanes) are dead code when off.
+        swh = jnp.ones((3 * H,), jnp.float32)
     Bp = _round_up(B, 8)
     Dp = _round_up(D, 128)
     Hp = _round_up(H, 128)
@@ -1049,18 +1083,23 @@ def gru_scan_xfused_q8(x, wxq, sw, b, wh, mask, reverse=False):
     Tp = _round_up(T, _t_blk_xf_q8(Bp, Dp, Hp, io.itemsize))
     interp = jax.default_backend() != "tpu"
     if (Tp, Bp, Dp, Hp) == (T, B, D, H):
-        return _build_fwd_xf_q8(T, B, D, H, interp, str(x.dtype), reverse)(
+        return _build_fwd_xf_q8(T, B, D, H, interp, str(x.dtype), reverse,
+                                rec_q8)(
             x, wxq, sw.astype(jnp.float32)[None, :],
-            b.astype(jnp.float32)[None, :], wh, mask.astype(jnp.float32))
+            b.astype(jnp.float32)[None, :], wh,
+            swh.astype(jnp.float32)[None, :], mask.astype(jnp.float32))
     x_p = jnp.zeros((Tp, Bp, Dp), x.dtype).at[:T, :B, :D].set(x)
     wxq_p = jnp.zeros((Dp, 3 * Hp), jnp.int8)
     sw_p = jnp.zeros((1, 3 * Hp), jnp.float32)
+    swh_p = jnp.zeros((1, 3 * Hp), jnp.float32)
     b_p = jnp.zeros((1, 3 * Hp), jnp.float32)
     for g in range(3):
         wxq_p = wxq_p.at[:D, g * Hp:g * Hp + H].set(
             wxq[:, g * H:(g + 1) * H])
         sw_p = sw_p.at[0, g * Hp:g * Hp + H].set(
             sw[g * H:(g + 1) * H].astype(jnp.float32))
+        swh_p = swh_p.at[0, g * Hp:g * Hp + H].set(
+            swh[g * H:(g + 1) * H].astype(jnp.float32))
         b_p = b_p.at[0, g * Hp:g * Hp + H].set(
             b[g * H:(g + 1) * H].astype(jnp.float32))
     wh_p = jnp.zeros((Hp, 3 * Hp), wh.dtype)
@@ -1069,6 +1108,7 @@ def gru_scan_xfused_q8(x, wxq, sw, b, wh, mask, reverse=False):
             wh[:, g * H:(g + 1) * H])
     mask_p = jnp.zeros((Tp, Bp, 1), jnp.float32).at[:T, :B].set(
         mask.astype(jnp.float32))
-    ys = _build_fwd_xf_q8(Tp, Bp, Dp, Hp, interp, str(x.dtype), reverse)(
-        x_p, wxq_p, sw_p, b_p, wh_p, mask_p)
+    ys = _build_fwd_xf_q8(Tp, Bp, Dp, Hp, interp, str(x.dtype), reverse,
+                          rec_q8)(
+        x_p, wxq_p, sw_p, b_p, wh_p, swh_p, mask_p)
     return ys[:T, :B, :H]
