@@ -76,6 +76,9 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="also score the int8_proj quantized serving path "
                          "(same checkpoint; reports the int8 WER delta)")
+    ap.add_argument("--int8-rec", action="store_true",
+                    help="with --int8: ALSO score the int8-recurrence "
+                         "variant (int8_rec)")
     ap.add_argument("--soft-epochs", type=int, default=6,
                     help="snapshot the AM at this epoch for the SOFT "
                          "operating point (posteriors still ambiguous, "
@@ -326,6 +329,25 @@ def main():
             out["wer_int8_beam"] - wwer["bx"], 4)
         out["int8_delta_ci95_paired"] = round(_paired_delta_ci95(
             word_refs, q8_words["bx"], word_hyps["bx"]), 4)
+        if args.int8_rec:
+            m_q8r = create_model("deepspeech_ctc", num_classes=V,
+                                 **{**cfg.model_kwargs, "pallas_gru": True,
+                                    "fused_proj": True, "int8_rec": True})
+
+            @jax.jit
+            def forward_q8r(vs, wav, lens):
+                feats, flens = trainer.featurizer._featurize(wav, lens)
+                return m_q8r.apply(vs, feats, flens, train=False)
+
+            q8r = decode_pass(variables, beam_only=True, fwd=forward_q8r)
+            q8r_words = {k: [lexdec.decode(h) for h in v]
+                         for k, v in q8r.items() if v}
+            out["wer_int8rec_greedy"] = round(
+                wer(word_refs, q8r_words["g"]), 4)
+            out["wer_int8rec_beam"] = round(
+                wer(word_refs, q8r_words["bx"]), 4)
+            out["int8rec_delta_beam"] = round(
+                out["wer_int8rec_beam"] - wwer["bx"], 4)
     out["lm_gain_bigram"] = round(wwer["bx"] - wwer["f2"], 4)
     out["lm_gain_trigram"] = round(wwer["bx"] - wwer["f3"], 4)
     out["pallas_vs_xla_agree"] = round(float(np.mean(
