@@ -17,9 +17,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite's wall time is dominated by many
-# small CPU XLA compiles; warm re-runs (CI retries, local iteration) reuse
-# them across processes. Fresh-cache time is unchanged.
+# Persistent compilation cache: a NO-OP on this CPU-pinned process by
+# default — XLA:CPU executable (de)serialization destabilizes long test
+# processes (WORKLOG 48-49). TPUASR_JAX_CACHE_CPU=1 opts back in for fast
+# warm local iteration (at your own risk).
 from tpuasr.utils.compile_cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()

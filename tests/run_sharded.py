@@ -7,9 +7,10 @@ with a SIGSEGV inside jax's persistent-cache executable (de)serialization
 into the run, never reproducible in isolation. The crash needs hundreds of
 prior compilations' process state, i.e. an XLA:CPU export bug we cannot
 fix here. Fresh processes per file keep every process far from that
-regime, isolate any future crash to one file's report, and lose little
-wall time because the persistent compile cache makes warm re-imports
-cheap.
+regime, isolate any future crash to one file's report. (The persistent compile
+cache is OFF for CPU processes for the same stability reason — see
+tpuasr/utils/compile_cache.py — so shards recompile their programs; the
+per-file cost is import + compile time.)
 
 Usage: python tests/run_sharded.py [--runslow] [pytest args...]
 Exit code 0 iff every file's pytest run exits 0.

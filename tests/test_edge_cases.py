@@ -126,3 +126,17 @@ def test_compile_cache_repairs_orphaned_lru_metadata(tmp_path):
     # paired entry untouched, dangling atime removed
     assert (tmp_path / "jit_g-bbbb-atime").read_bytes() == (7).to_bytes(8, "little")
     assert not dangling.exists()
+
+
+def test_compile_cache_disabled_on_cpu_backend(monkeypatch, tmp_path):
+    """XLA:CPU executable (de)serialization destabilizes long processes
+    (two SIGSEGVs + a futex hang, round 3) — on the CPU backend the
+    persistent cache must stay OFF unless explicitly opted in."""
+    import tpuasr.utils.compile_cache as cc
+
+    monkeypatch.setenv("TPUASR_JAX_CACHE", str(tmp_path))
+    monkeypatch.delenv("TPUASR_JAX_CACHE_CPU", raising=False)
+    # conftest pinned this whole process to CPU, so conftest's own enable
+    # call was gated off too:
+    assert not cc._enabled
+    assert cc.enable_compilation_cache() is None

@@ -81,6 +81,20 @@ def enable_compilation_cache() -> str | None:
     env = os.environ.get("TPUASR_JAX_CACHE", "")
     if env == "0":
         return None
+    # CPU backend: OFF by default. XLA:CPU executable (de)serialization is
+    # unstable once a process accumulates enough compilations — measured
+    # round-3: two SIGSEGVs (one GET, one PUT) and one futex deadlock, all
+    # inside the persistent-cache layer, none reproducible in isolation,
+    # and a cache-disabled single-process full run is clean. The cache's
+    # big win is TPU compiles (~20-40 s each) anyway; CPU compiles are
+    # seconds. TPUASR_JAX_CACHE_CPU=1 opts back in for local iteration.
+    import jax
+
+    plat = (jax.config.jax_platforms
+            or os.environ.get("TPUASR_PLATFORM") or "")
+    if (str(plat).split(",")[0] == "cpu"
+            and os.environ.get("TPUASR_JAX_CACHE_CPU") != "1"):
+        return None
     # Host-feature subdirectory: entries AOT-compiled by a host with a
     # different CPU feature set must never load (see _host_fingerprint).
     path = (Path(env) if env else _DEFAULT) / _host_fingerprint()
