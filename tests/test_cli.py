@@ -91,6 +91,18 @@ def test_cli_train_predict_test(tmp_path):
         for (_, a0, a1), (_, b0, b1) in zip(u.segments, u.segments[1:]):
             assert a0 <= b0 and a1 <= b1
 
+    # ---- Quantized serving: same checkpoint through the int8 paths ----
+    out = run_cli("predict.py", "deepspeech_ctc", wav,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt", "--beam", "--int8")
+    assert str(wav) in out
+    out = run_cli("test.py", "deepspeech_ctc",
+                  "--manifest", corpus.manifest,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt",
+                  "--batch-size", 4, "--max-label-len", 4, "--int8")
+    assert "token-error-rate" in out
+
     # ---- LM toolkit: train G from the transcripts, decode with it ----
     arpa = tmp_path / "g.arpa"
     out = run_cli("lm.py", "train", "--manifest", corpus.manifest,
