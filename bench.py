@@ -27,9 +27,6 @@ def main() -> int:
     want_cpu = os.environ.get("TPUASR_PLATFORM") == "cpu"
     tpu_ok = (not want_cpu) and probe_tpu()
 
-    from tpuasr.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache()
     import jax
 
     if not tpu_ok:
@@ -37,6 +34,12 @@ def main() -> int:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass  # backend already initialized by the embedding process
+
+    # AFTER the platform decision: on the CPU fallback the persistent cache
+    # stays off (XLA:CPU (de)serialization instability — compile_cache.py).
+    from tpuasr.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from tpuasr.decode import BeamSearchConfig, get_beam_search

@@ -92,12 +92,19 @@ def enable_compilation_cache() -> str | None:
 
     plat = (jax.config.jax_platforms
             or os.environ.get("TPUASR_PLATFORM") or "")
-    if (str(plat).split(",")[0] == "cpu"
-            and os.environ.get("TPUASR_JAX_CACHE_CPU") != "1"):
-        return None
-    # Host-feature subdirectory: entries AOT-compiled by a host with a
-    # different CPU feature set must never load (see _host_fingerprint).
-    path = (Path(env) if env else _DEFAULT) / _host_fingerprint()
+    base = Path(env) if env else _DEFAULT
+    if str(plat).split(",")[0] == "cpu":
+        if os.environ.get("TPUASR_JAX_CACHE_CPU") != "1":
+            return None
+        # CPU opt-in: host-feature subdirectory, so entries AOT-compiled
+        # by a host with a different CPU feature set never load (see
+        # _host_fingerprint).
+        path = base / _host_fingerprint()
+    else:
+        # TPU: serialized executables are not host-CPU-feature sensitive;
+        # keep the stable dir so warm entries survive host moves (losing
+        # them costs 20-40 s per program on the next chip session).
+        path = base
     if _enabled:
         return str(path)
     try:
