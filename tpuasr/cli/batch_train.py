@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(checkpointable mid-epoch iterator)")
     p.add_argument("--grain-workers", type=int, default=0,
                    help="Grain multiprocess workers (with --use-grain)")
+    p.add_argument("--spec-augment", action="store_true",
+                   help="on-device SpecAugment in the train step "
+                        "(freq/time masking; tpuasr/features/augment.py)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation: apply optimizer updates "
+                        "every N micro-batches (large effective batch)")
     p.add_argument("--preset", action="store_true",
                    help="apply the model's central hyperparameter preset "
                         "(tpuasr.utils.params; reference asr/utils/params.py "
@@ -96,7 +102,8 @@ def main(argv=None) -> int:
         continue_from=args.continue_from, objective=args.objective,
         ctc_impl=args.ctc_impl, fused_featurizer=args.fused_featurizer,
         prefetch=args.prefetch, use_grain=args.use_grain,
-        grain_workers=args.grain_workers, model_kwargs=model_kwargs)
+        grain_workers=args.grain_workers, spec_augment=args.spec_augment,
+        accum_steps=args.accum_steps, model_kwargs=model_kwargs)
     # Preset fills fields the user left at parser defaults; explicit wins.
     defaults = build_parser()
     for k, v in train_overrides.items():

@@ -71,6 +71,17 @@ class TrainConfig:
     # multiprocess workers; keep 0 on single-core hosts).
     use_grain: bool = False
     grain_workers: int = 0
+    # On-device SpecAugment inside the jitted train step (train only; see
+    # tpuasr/features/augment.py). The reference predates SpecAugment.
+    spec_augment: bool = False
+    sa_freq_masks: int = 2
+    sa_freq_width: int = 12
+    sa_time_masks: int = 2
+    sa_time_frac: float = 0.05
+    # Gradient accumulation: optimizer updates apply every accum_steps
+    # micro-batches (optax.MultiSteps) — large effective batches without
+    # the memory. warmup counts MICRO steps.
+    accum_steps: int = 1
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -90,7 +101,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         opt = optax.sgd(sched, momentum=cfg.momentum, nesterov=True)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    if cfg.accum_steps > 1:
+        # Clip-then-accumulate matches the per-micro-batch clipping of a
+        # plain small-batch run; updates apply on every accum_steps-th step.
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx
 
 
 class Trainer:
@@ -162,6 +178,14 @@ class Trainer:
                                                   batch["wav_lens"],
                                                   dither_key,
                                                   tables=ftabs)
+        if train and self.cfg.spec_augment and dropout_rng is not None:
+            from tpuasr.features.augment import spec_augment
+            feats = spec_augment(
+                feats, flens, jax.random.fold_in(dropout_rng, 7),
+                freq_masks=self.cfg.sa_freq_masks,
+                freq_width=self.cfg.sa_freq_width,
+                time_masks=self.cfg.sa_time_masks,
+                time_frac=self.cfg.sa_time_frac)
         if self.cfg.bf16_compute:
             feats = feats.astype(jnp.bfloat16)
         if self.cfg.objective == "ssvae_elbo":
