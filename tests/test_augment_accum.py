@@ -120,3 +120,24 @@ def test_spec_augment_train_step_runs():
         e1 = tr.eval_step(state, tr._device_batch(batch))
         e2 = tr.eval_step(state, tr._device_batch(batch))
         assert float(e1["loss"]) == float(e2["loss"])
+
+
+def test_cosine_schedule_decays():
+    import optax
+    from tpuasr.train import TrainConfig
+    from tpuasr.train.loop import make_optimizer
+
+    cfg = TrainConfig(lr=1e-3, warmup_steps=10, lr_schedule="cosine",
+                      decay_steps=100, min_lr_frac=0.1)
+    tx = make_optimizer(cfg)      # builds without error
+    assert isinstance(tx, optax.GradientTransformation)
+    # Probe the schedule directly: ramp, peak, decay to the floor.
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.lr, cfg.warmup_steps, cfg.decay_steps,
+        end_value=cfg.lr * cfg.min_lr_frac)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-3) < 1e-9
+    assert float(sched(100)) <= 1e-4 + 1e-9
+    import pytest
+    with pytest.raises(ValueError, match="lr_schedule"):
+        make_optimizer(TrainConfig(lr_schedule="nope"))

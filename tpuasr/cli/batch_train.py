@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(checkpointable mid-epoch iterator)")
     p.add_argument("--grain-workers", type=int, default=0,
                    help="Grain multiprocess workers (with --use-grain)")
+    p.add_argument("--lr-schedule", default="warmup",
+                   choices=["warmup", "cosine"],
+                   help="warmup = linear ramp then constant (reference "
+                        "behavior); cosine = ramp then cosine decay")
+    p.add_argument("--decay-steps", type=int, default=10000,
+                   help="cosine decay horizon (with --lr-schedule cosine)")
     p.add_argument("--spec-augment", action="store_true",
                    help="on-device SpecAugment in the train step "
                         "(freq/time masking; tpuasr/features/augment.py)")
@@ -103,7 +109,8 @@ def main(argv=None) -> int:
         ctc_impl=args.ctc_impl, fused_featurizer=args.fused_featurizer,
         prefetch=args.prefetch, use_grain=args.use_grain,
         grain_workers=args.grain_workers, spec_augment=args.spec_augment,
-        accum_steps=args.accum_steps, model_kwargs=model_kwargs)
+        accum_steps=args.accum_steps, lr_schedule=args.lr_schedule,
+        decay_steps=args.decay_steps, model_kwargs=model_kwargs)
     # Preset fills fields the user left at parser defaults; explicit wins.
     defaults = build_parser()
     for k, v in train_overrides.items():

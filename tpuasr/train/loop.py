@@ -82,6 +82,12 @@ class TrainConfig:
     # micro-batches (optax.MultiSteps) — large effective batches without
     # the memory. warmup counts MICRO steps.
     accum_steps: int = 1
+    # LR schedule: "warmup" (linear ramp, then constant — the reference's
+    # fixed-lr behavior after warmup) or "cosine" (ramp then cosine decay
+    # to lr * min_lr_frac over decay_steps).
+    lr_schedule: str = "warmup"
+    decay_steps: int = 10000
+    min_lr_frac: float = 0.05
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -92,7 +98,15 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    sched = optax.linear_schedule(0.0, cfg.lr, max(cfg.warmup_steps, 1))
+    if cfg.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, max(cfg.warmup_steps, 1),
+            max(cfg.decay_steps, cfg.warmup_steps + 1),
+            end_value=cfg.lr * cfg.min_lr_frac)
+    elif cfg.lr_schedule == "warmup":
+        sched = optax.linear_schedule(0.0, cfg.lr, max(cfg.warmup_steps, 1))
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
     if cfg.optimizer == "adamw":
         opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
     elif cfg.optimizer == "adam":
