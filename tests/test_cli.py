@@ -51,7 +51,7 @@ def test_cli_train_predict_test(tmp_path):
     out = run_cli("predict.py", "deepspeech_ctc", wav,
                   "--checkpoint", log_dir / "ckpt",
                   "--units", corpus.root / "units.txt", "--beam",
-                  "--beam-width", 8, "--align")
+                  "--beam-width", 8, "--align", "--confidence")
     assert str(wav) in out
     # --align prints per-token spans for the best hypothesis (or nothing
     # when the hypothesis is empty this early in training).
@@ -59,6 +59,14 @@ def test_cli_train_predict_test(tmp_path):
     hyp = line.split("\t", 1)[1].strip()
     if hyp:
         assert any(l.startswith("# align:") for l in out.splitlines())
+    # --confidence always prints the utterance line; with --beam it carries
+    # the hypothesis' posterior mass within the beam, both in [0, 1].
+    conf = [l for l in out.splitlines() if l.startswith("# conf:")]
+    assert conf, out
+    fields = conf[0].split("|")[0].split()
+    utt_c = float(fields[fields.index("utt") + 1])
+    beam_c = float(fields[fields.index("beam") + 1])
+    assert 0.0 <= utt_c <= 1.0 and 0.0 <= beam_c <= 1.0
 
     out = run_cli("test.py", "deepspeech_ctc",
                   "--manifest", corpus.manifest,

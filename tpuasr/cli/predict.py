@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "alignment of the best hypothesis (the reference "
                         "latgen path returned (words, alignments); "
                         "SURVEY.md section 3.4)")
+    p.add_argument("--confidence", action="store_true",
+                   help="also print confidence scores: per-utterance "
+                        "(geometric-mean Viterbi path posterior; with "
+                        "--beam also the hypothesis' posterior mass within "
+                        "the beam) and per-token (mean class posterior over "
+                        "the forced-alignment span) — "
+                        "tpuasr/decode/confidence.py")
     p.add_argument("--int8", action="store_true",
                    help="serve with int8 MXU input projections (quantized "
                         "serving path, DeepSpeech-family models; same "
@@ -172,6 +179,13 @@ def main(argv=None) -> int:
             if fst_outs is not None:
                 fst_outs = [[fst_outs[b][j] for j in order[b]]
                             for b in range(len(fst_outs))]
+        beam_post = None
+        if args.confidence:
+            # Posterior mass of each hypothesis within the searched set
+            # (normalized over the FULL beam, before n-best truncation).
+            from tpuasr.decode import beam_posterior
+            beam_post = np.asarray(
+                beam_posterior(jnp.asarray(scores)))[:, :n_best]
         toks, tok_lens = toks[:, :n_best], tok_lens[:, :n_best]
         scores = scores[:, :n_best]
     else:
@@ -179,13 +193,16 @@ def main(argv=None) -> int:
         toks = np.asarray(t)[:, None]
         tok_lens = np.asarray(l)[:, None]
         scores = None
+        beam_post = None
 
     spans = None
-    if args.align:
+    conf_tok = conf_utt = None
+    if args.align or args.confidence:
         # Forced-align the BEST hypothesis back onto the AM posteriors:
         # per-token model-frame spans -> seconds via the featurizer hop and
-        # the model's time stride (feat frames / output frames).
-        from tpuasr.losses import ctc_align
+        # the model's time stride (feat frames / output frames); with
+        # --confidence also per-token span posteriors + the utterance's
+        # geometric-mean path posterior (decode/confidence.py).
         B = len(args.wavs)
         U = max(1, int(tok_lens[:, 0].max()))
         lab = np.zeros((B, U), np.int32)
@@ -194,10 +211,21 @@ def main(argv=None) -> int:
             n = int(tok_lens[i, 0])
             lab_lens[i] = n
             lab[i, :n] = toks[i, 0][:n]
-        al = jax.jit(ctc_align)(logp, jnp.asarray(lab), out_lens,
-                                jnp.asarray(lab_lens))
-        spans = (np.asarray(al["token_starts"]),
-                 np.asarray(al["token_ends"]))
+        if args.confidence:
+            from tpuasr.decode import align_confidence
+            cf = jax.jit(align_confidence)(logp, jnp.asarray(lab),
+                                           jnp.asarray(lab_lens), out_lens)
+            conf_tok = np.asarray(cf["token_conf"])
+            conf_utt = np.asarray(cf["utt_conf"])
+            if args.align:
+                spans = (np.asarray(cf["token_starts"]),
+                         np.asarray(cf["token_ends"]))
+        else:
+            from tpuasr.losses import ctc_align
+            al = jax.jit(ctc_align)(logp, jnp.asarray(lab), out_lens,
+                                    jnp.asarray(lab_lens))
+            spans = (np.asarray(al["token_starts"]),
+                     np.asarray(al["token_ends"]))
         fl_np, ol_np = np.asarray(feat_lens), np.asarray(out_lens)
 
     word_dec, words = make_word_decoder(args)
@@ -229,6 +257,17 @@ def main(argv=None) -> int:
                 parts.append(f"{sym}[{st[i, u] * spf:.2f}"
                              f"-{en[i, u] * spf:.2f}]")
             print(f"# align: {' '.join(parts)}")
+        if conf_utt is not None:
+            head = f"# conf: utt {conf_utt[i]:.3f}"
+            if beam_post is not None:
+                head += f" beam {beam_post[i, 0]:.3f}"
+            parts = []
+            for u in range(int(tok_lens[i, 0])):
+                sym = (units[toks[i, 0, u]]
+                       if units and toks[i, 0, u] < len(units)
+                       else str(toks[i, 0, u]))
+                parts.append(f"{sym} {conf_tok[i, u]:.3f}")
+            print(head + (" | " + " ".join(parts) if parts else ""))
     return 0
 
 

@@ -9,6 +9,7 @@ Replaces the reference's two decode paths (SURVEY.md sections 2.1/3.2):
     lexicon/word mapping is applied host-side (decode/lexicon.py).
 """
 
+from tpuasr.decode.confidence import align_confidence, beam_posterior
 from tpuasr.decode.fst import (WFST, lexicon_to_fst,
                                rescore_nbest_fst)
 from tpuasr.decode.greedy import greedy_decode
@@ -35,4 +36,5 @@ def get_beam_search(impl: str = "auto"):
 __all__ = ["greedy_decode", "ctc_beam_search", "BeamSearchConfig",
            "get_beam_search", "apply_score_bias", "beam_init_state",
            "beam_results", "Lexicon", "LexiconDecoder", "SymbolTable",
-           "WFST", "rescore_nbest_fst", "lexicon_to_fst"]
+           "WFST", "rescore_nbest_fst", "lexicon_to_fst",
+           "align_confidence", "beam_posterior"]
