@@ -144,3 +144,35 @@ def test_cli_train_predict_test(tmp_path):
                   "--batch-size", 4, "--max-label-len", 4,
                   "--beam", "--lm", arpa, "--lm-fusion")
     assert "token-error-rate" in out
+
+    # ---- First-pass WFST decode (the latgen path over a TLG-style
+    # graph supplied as a binary OpenFst file) ----
+    from tpuasr.decode import SymbolTable, lexicon_to_fst
+    # Hand lexicon over the unit inventory (the token-level synthetic
+    # corpus has no word lexicon; the graph still constrains the decode).
+    word_prons = [("wA", (1, 2)), ("wB", (2, 1)), ("wC", (3,)),
+                  ("wD", (4, 1))]
+    tl = lexicon_to_fst(word_prons)
+    tl_path = tmp_path / "tl.fst"
+    tl.save_binary(tl_path)
+    osyms_path = tmp_path / "fst_words.txt"
+    SymbolTable({"<eps>": 0, **{w: i + 1 for i, (w, _) in
+                                enumerate(word_prons)}}
+                ).save(osyms_path)
+    out = run_cli("predict.py", "deepspeech_ctc", wav,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt",
+                  "--fst", tl_path, "--fst-decode",
+                  "--fst-osyms", osyms_path, "--align")
+    line = [l for l in out.splitlines() if str(wav) in l][0]
+    hyp_words = line.split("\t", 1)[1].split()
+    vocab = {w for w, _ in word_prons}
+    assert all(w in vocab for w in hyp_words)  # graph-constrained output
+    out = run_cli("test.py", "deepspeech_ctc",
+                  "--manifest", corpus.manifest,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt",
+                  "--batch-size", 4, "--max-label-len", 4,
+                  "--fst", tl_path, "--fst-decode",
+                  "--fst-osyms", osyms_path)
+    assert "word-error-rate" in out and "final-reached" in out

@@ -71,6 +71,21 @@ def add_lm_flags(p: argparse.ArgumentParser):
     g.add_argument("--fst-osyms", type=str, default=None,
                    help="output symbol table (words.txt) — transduced "
                         "outputs are printed through it")
+    g.add_argument("--fst-decode", action="store_true",
+                   help="FIRST-PASS decode over --fst (host C++ token "
+                        "passing, tpuasr/decode/fst_decode.py — the "
+                        "reference's latgen path over a user TLG.fst): the "
+                        "graph drives the search instead of rescoring an "
+                        "already-pruned n-best; emits word outputs")
+    g.add_argument("--fst-beam", type=float, default=16.0,
+                   help="first-pass pruning beam in tropical cost units "
+                        "(Kaldi --beam)")
+    g.add_argument("--fst-max-active", type=int, default=2000,
+                   help="first-pass token cap per frame (Kaldi "
+                        "--max-active)")
+    g.add_argument("--acoustic-scale", type=float, default=1.0,
+                   help="weight on the AM term vs graph costs in "
+                        "--fst-decode (Kaldi --acoustic-scale)")
     return p
 
 

@@ -126,13 +126,50 @@ def main(argv=None) -> int:
         items = [(k, lp_np[i, :ol_np[i]]) for i, k in enumerate(keys)]
         ark, scp = write_ark_scp(args.dump_loglikes, items)
         print(f"# wrote {len(items)} loglike matrices to {ark} ({scp})")
+    if args.fst_decode:
+        # First-pass decode over the graph (the reference's latgen path:
+        # a user-supplied TLG.fst drives the search; SURVEY.md 3.4).
+        if not args.fst:
+            raise SystemExit("--fst-decode requires --fst")
+        if args.beam or args.lm:
+            raise SystemExit("--fst-decode is a first-pass graph decode; "
+                             "it replaces --beam/--lm")
+        from tpuasr.cli.common import load_fst
+        from tpuasr.decode.fst_decode import wfst_ctc_decode
+        fst, osyms = load_fst(args)
+        out = wfst_ctc_decode(fst, np.asarray(logp), np.asarray(out_lens),
+                              beam=args.fst_beam,
+                              max_active=args.fst_max_active,
+                              acoustic_scale=args.acoustic_scale)
+        fl_np, ol_np = np.asarray(feat_lens), np.asarray(out_lens)
+        for i, path in enumerate(args.wavs):
+            n = int(out["word_lens"][i])
+            ws = out["words"][i, :n]
+            text = " ".join(osyms.sym(w) if osyms is not None else str(w)
+                            for w in ws)
+            print(f"{path}\t{text}")
+            if not bool(out["reached_final"][i]):
+                print("# fst: no final state reached (partial hypothesis)")
+            if args.align and n:
+                # Word emission times: model frames -> seconds via the
+                # featurizer hop and the model's time stride.
+                stride = max(1, round(float(fl_np[i]) /
+                                      max(int(ol_np[i]), 1)))
+                spf = stride * feat_cfg.hop_length / feat_cfg.sample_rate
+                fr = out["frames"][i, :n]
+                parts = [f"{osyms.sym(w) if osyms is not None else w}"
+                         f"[{max(f, 0) * spf:.2f}]"
+                         for w, f in zip(ws, fr)]
+                print(f"# align: {' '.join(parts)}")
+        return 0
+
     lm = load_lm(args)
     if lm is not None and not args.beam:
         raise SystemExit("--lm requires --beam (the LM applies to beam "
                          "hypotheses)")
     if getattr(args, "fst", None) and not args.beam:
-        raise SystemExit("--fst requires --beam (the WFST rescores beam "
-                         "hypotheses)")
+        raise SystemExit("--fst requires --beam for rescoring "
+                         "(or --fst-decode for a first-pass graph decode)")
     n_best = max(1, args.nbest) if args.beam else 1
     fst_outs = fst_osyms = None
     if args.beam:

@@ -102,9 +102,16 @@ def main(argv=None) -> int:
                          "hypotheses)")
     from tpuasr.cli.common import load_fst
     fst, _fst_osyms = load_fst(args)
-    if fst is not None and not args.beam:
-        raise SystemExit("--fst requires --beam (the WFST rescores beam "
-                         "hypotheses)")
+    if args.fst_decode:
+        if fst is None:
+            raise SystemExit("--fst-decode requires --fst")
+        if args.beam or lm is not None:
+            raise SystemExit("--fst-decode is a first-pass graph decode; "
+                             "it replaces --beam/--lm")
+    elif fst is not None and not args.beam:
+        raise SystemExit("--fst requires --beam for rescoring "
+                         "(or --fst-decode for a first-pass graph decode)")
+    n_final = 0  # --fst-decode: utterances whose best token reached final
     syms = lm_symbols(units, num_classes)
     word_dec, words = make_word_decoder(args)
     utt_text = {u.id: u.text for u in loader.utts}
@@ -161,6 +168,24 @@ def main(argv=None) -> int:
                 if batch["real"][j]:
                     loglikes.append((batch["ids"][j],
                                      lp_np[j, :ol_np[j]]))
+        if args.fst_decode:
+            # First-pass decode over the graph (the latgen path): word
+            # hypotheses come straight off the WFST's output labels.
+            from tpuasr.decode.fst_decode import wfst_ctc_decode
+            fd = wfst_ctc_decode(fst, np.asarray(logp),
+                                 np.asarray(out_lens), beam=args.fst_beam,
+                                 max_active=args.fst_max_active,
+                                 acoustic_scale=args.acoustic_scale)
+            for j in range(len(batch["real"])):
+                if not batch["real"][j]:
+                    continue
+                n = int(fd["word_lens"][j])
+                n_final += int(bool(fd["reached_final"][j]))
+                wrefs.append(utt_text.get(batch["ids"][j], "").split())
+                whyps.append([_fst_osyms.sym(w) if _fst_osyms is not None
+                              else str(w)
+                              for w in fd["words"][j, :n]])
+            continue
         if args.beam:
             rescore = lm is not None and not args.lm_fusion
             cfg = BeamSearchConfig(beam_width=args.beam_width,
@@ -226,6 +251,12 @@ def main(argv=None) -> int:
         write_manifest(args.write_segments, utts)
         print(f"# wrote manifest with {len(segments)} aligned segment "
               f"lists to {args.write_segments}")
+    if args.fst_decode:
+        # Graph decode emits words, not unit tokens: word-level WER only.
+        print(f"utterances: {len(wrefs)}  "
+              f"word-error-rate: {wer(wrefs, whyps):.4f}  "
+              f"final-reached: {n_final}/{len(wrefs)}")
+        return 0
     ter = wer(refs, hyps)
     out = f"utterances: {len(refs)}  token-error-rate: {ter:.4f}"
     if word_dec is not None:
