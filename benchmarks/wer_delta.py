@@ -183,6 +183,13 @@ def main():
     hyp = {k: [] for k in ("g", "bx", "bp", "f2", "f3", "hb", "hg")}
     refs = []            # phone-token references
     word_refs = []       # word-id references
+    # First-pass WFST decode (the latgen path): the TL graph built from
+    # the SAME lexicon drives the search (host C++ token passing); word
+    # olabels are 1-based over words.txt order (lexicon_to_fst).
+    from tpuasr.decode import lexicon_to_fst, wfst_ctc_decode
+    tl_fst = lexicon_to_fst(train_c.word_prons)
+    word_hyp_fst = []    # word-id hypotheses straight off the graph
+    n_fst_final = 0
     words = SymbolTable.load(train_c.words_txt)
     phones = SymbolTable.from_list(train_c.vocab)
     lex = Lexicon.load(train_c.lexicon, words, phones)
@@ -207,9 +214,15 @@ def main():
             hb = native.ctc_beam_search_host(lp_np, ol_np, beam_width=8,
                                              class_topk=6, max_len=64)
             hg_t, hg_l = native.ctc_greedy_host(lp_np, ol_np)
+        fd = wfst_ctc_decode(tl_fst, lp_np, ol_np, beam=12.0,
+                             max_active=500)
         for j in range(len(batch["real"])):
             if not batch["real"][j]:
                 continue
+            nf = int(fd["word_lens"][j])
+            word_hyp_fst.append([int(w) - 1
+                                 for w in fd["words"][j, :nf]])
+            n_fst_final += int(bool(fd["reached_final"][j]))
             refs.append(batch["tokens"][j][:batch["token_lens"][j]].tolist())
             word_refs.append([words[w] for w in
                               utt_by_id[batch["ids"][j]].text.split()])
@@ -287,6 +300,12 @@ def main():
             out[f"ter_{name}"] = round(ter[k], 4)
     out["delta_ci95_paired"] = round(_paired_delta_ci95(
         word_refs, word_hyps["bx"], word_hyps["g"]), 4)
+    # First-pass graph decode vs beam+trie-lexicon: same L, different
+    # search (joint acoustic-lexicon Viterbi vs collapse-then-segment).
+    out["wer_fst_decode"] = round(wer(word_refs, word_hyp_fst), 4)
+    out["fst_vs_beam_delta"] = round(
+        out["wer_fst_decode"] - wwer["bx"], 4)
+    out["fst_final_frac"] = round(n_fst_final / max(len(refs), 1), 4)
     if soft_hyp is not None:
         soft_words = {k: [lexdec.decode(h) for h in v]
                       for k, v in soft_hyp.items()}
