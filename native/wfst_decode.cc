@@ -30,6 +30,7 @@
 #include <cmath>
 #include <cstdint>
 #include <queue>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -217,11 +218,11 @@ void wfst_ctc_decode(const float* log_probs, const int32_t* lengths, int B,
                      const int32_t* arc_olabel, const int32_t* arc_dst,
                      const float* arc_weight, const float* final_w, int blank,
                      float beam, int max_active, float acoustic_scale,
-                     int max_words, int32_t* out_words, int32_t* out_frames,
-                     int32_t* out_lens, float* out_scores,
-                     int32_t* out_final) {
+                     int max_words, int num_threads, int32_t* out_words,
+                     int32_t* out_frames, int32_t* out_lens,
+                     float* out_scores, int32_t* out_final) {
   (void)A;
-  for (int b = 0; b < B; ++b) {
+  auto run = [&](int b) {
     std::fill(out_words + static_cast<size_t>(b) * max_words,
               out_words + static_cast<size_t>(b + 1) * max_words, -1);
     std::fill(out_frames + static_cast<size_t>(b) * max_words,
@@ -233,7 +234,25 @@ void wfst_ctc_decode(const float* log_probs, const int32_t* lengths, int B,
                   out_words + static_cast<size_t>(b) * max_words,
                   out_frames + static_cast<size_t>(b) * max_words,
                   out_lens + b, out_scores + b, out_final + b);
+  };
+  // Utterances are independent: thread the batch (the reference's latgen
+  // walked the graph single-threaded per process; host threads are the
+  // natural batch axis here).
+  int nthr = num_threads > 0
+                 ? num_threads
+                 : static_cast<int>(std::thread::hardware_concurrency());
+  nthr = std::max(1, std::min(nthr, B));
+  if (nthr == 1) {
+    for (int b = 0; b < B; ++b) run(b);
+    return;
   }
+  std::vector<std::thread> pool;
+  pool.reserve(nthr);
+  for (int t = 0; t < nthr; ++t)
+    pool.emplace_back([&, t]() {
+      for (int b = t; b < B; b += nthr) run(b);
+    });
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

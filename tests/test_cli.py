@@ -176,3 +176,26 @@ def test_cli_train_predict_test(tmp_path):
                   "--fst", tl_path, "--fst-decode",
                   "--fst-osyms", osyms_path)
     assert "word-error-rate" in out and "final-reached" in out
+
+    # ---- Lattice surface over the same graph: n-best + word
+    # confidences + Kaldi-style text lattice archive ----
+    lat_path = tmp_path / "lat.txt"
+    out = run_cli("predict.py", "deepspeech_ctc", wav,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt",
+                  "--fst", tl_path, "--fst-decode",
+                  "--fst-osyms", osyms_path, "--fst-nbest", 3,
+                  "--confidence", "--write-lattice", lat_path)
+    hyp_lines = [l for l in out.splitlines() if str(wav) in l]
+    assert hyp_lines and hyp_lines[0].split("\t")[1].startswith("[0]")
+    conf_line = [l for l in out.splitlines() if l.startswith("# conf:")]
+    if hyp_lines[0].split("\t", 2)[-1].strip():  # non-empty hypothesis
+        assert conf_line
+        for part in conf_line[0].split()[2:]:
+            w, c = part.rsplit(":", 1)
+            assert w in vocab and 0.0 < float(c) <= 1.0
+    lat_text = lat_path.read_text()
+    assert lat_text.startswith(wav.stem)  # utt key header
+    arc_lines = [l for l in lat_text.splitlines()
+                 if len(l.split()) == 4 and "," in l]
+    assert arc_lines  # src dst word graph,acoustic, arcs present

@@ -86,6 +86,19 @@ def add_lm_flags(p: argparse.ArgumentParser):
     g.add_argument("--acoustic-scale", type=float, default=1.0,
                    help="weight on the AM term vs graph costs in "
                         "--fst-decode (Kaldi --acoustic-scale)")
+    g.add_argument("--fst-lattice-beam", type=float, default=8.0,
+                   help="lattice pruning beam for --fst-decode n-best/"
+                        "lattice outputs (Kaldi --lattice-beam; links "
+                        "within this cost of the best path survive)")
+    g.add_argument("--fst-nbest", type=int, default=1,
+                   help="with --fst-decode: emit the top-N word sequences "
+                        "from the lattice (exact A* n-best, "
+                        "native/wfst_lattice.cc)")
+    g.add_argument("--write-lattice", metavar="PATH", default=None,
+                   help="with --fst-decode: write pruned raw lattices for "
+                        "every utterance to PATH as a Kaldi-style text "
+                        "archive (utt header, 'src dst word graph,acoustic,'"
+                        " arcs, final-state lines)")
     return p
 
 

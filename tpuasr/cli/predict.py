@@ -135,19 +135,71 @@ def main(argv=None) -> int:
             raise SystemExit("--fst-decode is a first-pass graph decode; "
                              "it replaces --beam/--lm")
         from tpuasr.cli.common import load_fst
-        from tpuasr.decode.fst_decode import wfst_ctc_decode
         fst, osyms = load_fst(args)
-        out = wfst_ctc_decode(fst, np.asarray(logp), np.asarray(out_lens),
-                              beam=args.fst_beam,
-                              max_active=args.fst_max_active,
-                              acoustic_scale=args.acoustic_scale)
-        fl_np, ol_np = np.asarray(feat_lens), np.asarray(out_lens)
+        lp_np, ol_np = np.asarray(logp), np.asarray(out_lens)
+        # The lattice engine (native/wfst_lattice.cc) serves n-best,
+        # confidence, and lattice export; plain 1-best stays on the
+        # lighter Viterbi pass (native/wfst_decode.cc).
+        want_lattice = (args.fst_nbest > 1 or args.confidence
+                        or args.write_lattice)
+        if want_lattice:
+            from tpuasr.decode.fst_decode import wfst_ctc_decode_nbest
+            out = wfst_ctc_decode_nbest(
+                fst, lp_np, ol_np, beam=args.fst_beam,
+                max_active=args.fst_max_active,
+                lat_beam=args.fst_lattice_beam,
+                nbest=max(args.fst_nbest, 1),
+                acoustic_scale=args.acoustic_scale)
+        else:
+            from tpuasr.decode.fst_decode import wfst_ctc_decode
+            out = wfst_ctc_decode(fst, lp_np, ol_np, beam=args.fst_beam,
+                                  max_active=args.fst_max_active,
+                                  acoustic_scale=args.acoustic_scale)
+        if args.write_lattice:
+            import os
+            from tpuasr.decode.fst_decode import (wfst_ctc_lattice,
+                                                  write_lattice_text)
+            with open(args.write_lattice, "w") as fh:
+                for i, path in enumerate(args.wavs):
+                    key = os.path.splitext(os.path.basename(path))[0]
+                    lat = wfst_ctc_lattice(
+                        fst, lp_np[i, :int(ol_np[i])], beam=args.fst_beam,
+                        max_active=args.fst_max_active,
+                        lat_beam=args.fst_lattice_beam,
+                        acoustic_scale=args.acoustic_scale)
+                    write_lattice_text(fh, key, lat, words=osyms)
+            print(f"# wrote {len(args.wavs)} lattices to "
+                  f"{args.write_lattice}")
+
+        def _name(w):
+            return osyms.sym(w) if osyms is not None else str(w)
+
+        fl_np = np.asarray(feat_lens)
         for i, path in enumerate(args.wavs):
-            n = int(out["word_lens"][i])
-            ws = out["words"][i, :n]
-            text = " ".join(osyms.sym(w) if osyms is not None else str(w)
-                            for w in ws)
-            print(f"{path}\t{text}")
+            if want_lattice:
+                for j in range(int(out["nhyp"][i])):
+                    n = int(out["word_lens"][i, j])
+                    text = " ".join(_name(w)
+                                    for w in out["words"][i, j, :n])
+                    if args.fst_nbest > 1:
+                        print(f"{path}\t[{j}] {out['scores'][i, j]:.2f}"
+                              f"\t{text}")
+                    else:
+                        print(f"{path}\t{text}")
+                    if j == 0 and args.confidence and n:
+                        conf = out["confidences"][i, :n]
+                        parts = [f"{_name(w)}:{c:.3f}" for w, c in
+                                 zip(out["words"][i, 0, :n], conf)]
+                        print(f"# conf: {' '.join(parts)}")
+                n = int(out["word_lens"][i, 0])
+                ws = out["words"][i, 0, :n]
+                fr = out["frames"][i, 0, :n]
+            else:
+                n = int(out["word_lens"][i])
+                ws = out["words"][i, :n]
+                fr = out["frames"][i, :n]
+                text = " ".join(_name(w) for w in ws)
+                print(f"{path}\t{text}")
             if not bool(out["reached_final"][i]):
                 print("# fst: no final state reached (partial hypothesis)")
             if args.align and n:
@@ -156,9 +208,7 @@ def main(argv=None) -> int:
                 stride = max(1, round(float(fl_np[i]) /
                                       max(int(ol_np[i]), 1)))
                 spf = stride * feat_cfg.hop_length / feat_cfg.sample_rate
-                fr = out["frames"][i, :n]
-                parts = [f"{osyms.sym(w) if osyms is not None else w}"
-                         f"[{max(f, 0) * spf:.2f}]"
+                parts = [f"{_name(w)}[{max(f, 0) * spf:.2f}]"
                          for w, f in zip(ws, fr)]
                 print(f"# align: {' '.join(parts)}")
         return 0
