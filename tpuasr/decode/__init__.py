@@ -12,7 +12,10 @@ Replaces the reference's two decode paths (SURVEY.md sections 2.1/3.2):
 from tpuasr.decode.confidence import align_confidence, beam_posterior
 from tpuasr.decode.fst import (WFST, lexicon_to_fst,
                                rescore_nbest_fst)
-from tpuasr.decode.fst_decode import wfst_ctc_decode
+from tpuasr.decode.fst_decode import (wfst_ctc_decode,
+                                      wfst_ctc_decode_nbest,
+                                      wfst_ctc_lattice,
+                                      write_lattice_text)
 from tpuasr.decode.greedy import greedy_decode
 from tpuasr.decode.lexicon import Lexicon, LexiconDecoder, SymbolTable
 from tpuasr.decode.prefix_beam import (BeamSearchConfig, apply_score_bias,
@@ -38,4 +41,5 @@ __all__ = ["greedy_decode", "ctc_beam_search", "BeamSearchConfig",
            "get_beam_search", "apply_score_bias", "beam_init_state",
            "beam_results", "Lexicon", "LexiconDecoder", "SymbolTable",
            "WFST", "rescore_nbest_fst", "lexicon_to_fst",
-           "wfst_ctc_decode", "align_confidence", "beam_posterior"]
+           "wfst_ctc_decode", "wfst_ctc_decode_nbest", "wfst_ctc_lattice",
+           "write_lattice_text", "align_confidence", "beam_posterior"]

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,14 @@ from tpuasr.decode.prefix_beam import BeamSearchConfig, NEG_INF
 B_BLK = 32
 T_BLK = 128
 LANES = 128
+
+# MEASURED SLOWER (v5e, B=128/K=8/C=64 headline): lowering the static
+# per-beam lane reads as lax.slice instead of one-hot masked reductions
+# looks cheaper on paper (~2 vreg ops vs a lane-reduction tree) but
+# Mosaic's lane-slice relayout costs ~10 ms/frame-loop at these shapes —
+# decode 16.4 -> 28.9 ms. Kept behind an env flag as the recorded A/B
+# (TPUASR_BEAM_LANE_SLICE=1 re-enables); the shipped path is the gather.
+_STATIC_LANE_SLICE = os.environ.get("TPUASR_BEAM_LANE_SLICE", "0") == "1"
 
 _M1 = np.int32(np.uint32(2654435761).astype(np.int64) - (1 << 32))
 _M2 = np.int32(40503)
@@ -71,6 +80,20 @@ def _gather_lane(field, idx):
     """field (B, L), idx (B, 1) -> (B, 1) field[b, idx[b]]."""
     onehot = _lane_iota(field.shape) == idx
     return jnp.sum(jnp.where(onehot, field, 0), axis=1, keepdims=True)
+
+
+def _static_lane(field, k: int):
+    """field (B, L) -> (B, 1) field[:, k] for a STATIC lane index.
+
+    A static lane slice lowers to a lane rotate + narrow copy (~2 vreg
+    ops) where the one-hot `_gather_lane` spends a full 128-lane masked
+    reduction (~a log-depth tree over 8 vregs) — and the per-beam state
+    gathers hoisted at the top of every frame are all static (round-3
+    profiling: they were ~15% of the per-frame op budget).
+    """
+    if _STATIC_LANE_SLICE:
+        return jax.lax.slice_in_dim(field, k, k + 1, axis=1)
+    return _gather_lane(field, jnp.full((field.shape[0], 1), k, jnp.int32))
 
 
 def _set_lane(arr, lane: int, val):
@@ -118,7 +141,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
         t_abs = t_blk * t_blk_n + tt
         lp = lp_ref[tt]                                  # (B_BLK, C_pad)
         lane_c = _lane_iota(lp.shape)
-        lp_blank = _gather_lane(lp, jnp.full((B_BLK, 1), blank, jnp.int32))
+        lp_blank = _static_lane(lp, blank)
         lp_nb = jnp.where((lane_c == blank) | (lane_c >= C), NEG_INF, lp)
 
         cur_pb, cur_pnb = p_b[:], p_nb[:]
@@ -136,24 +159,25 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
         stay_pb = p_tot + lp_blank
         lp_last = jnp.full((B_BLK, LANES), NEG_INF)
         for k in range(K):
-            lk = _gather_lane(cur_last, jnp.full((B_BLK, 1), k, jnp.int32))
+            lk = _static_lane(cur_last, k)
             val = _gather_lane(lp, jnp.clip(lk, 0, C - 1))
             val = jnp.where(lk < 0, NEG_INF, val)
             lp_last = _set_lane(lp_last, k, val)
         stay_pnb = cur_pnb + lp_last
 
         # ---- extend candidates, hash-join into stays ----
-        # Hoist all per-beam lane gathers once (reused across the K x K
-        # join and the selection loop below).
+        # Hoist all per-beam lane reads once (reused across the K x K
+        # join and the selection loop below); beam lanes are static, so
+        # these are slices, not one-hot reductions.
         kconst = [jnp.full((B_BLK, 1), k, jnp.int32) for k in range(K)]
-        g_pb = [_gather_lane(cur_pb, kconst[k]) for k in range(K)]
-        g_pt = [_gather_lane(p_tot, kconst[k]) for k in range(K)]
-        g_last = [_gather_lane(cur_last, kconst[k]) for k in range(K)]
-        g_last2 = ([_gather_lane(cur_last2, kconst[k]) for k in range(K)]
+        g_pb = [_static_lane(cur_pb, k) for k in range(K)]
+        g_pt = [_static_lane(p_tot, k) for k in range(K)]
+        g_last = [_static_lane(cur_last, k) for k in range(K)]
+        g_last2 = ([_static_lane(cur_last2, k) for k in range(K)]
                    if track_last2 else None)
-        g_h1 = [_gather_lane(cur_h1, kconst[k]) for k in range(K)]
-        g_h2 = [_gather_lane(cur_h2, kconst[k]) for k in range(K)]
-        g_plen = [_gather_lane(cur_plen, kconst[k]) for k in range(K)]
+        g_h1 = [_static_lane(cur_h1, k) for k in range(K)]
+        g_h2 = [_static_lane(cur_h2, k) for k in range(K)]
+        g_plen = [_static_lane(cur_plen, k) for k in range(K)]
         # INVERSE-HASH join (round-3 rewrite, KERNELS.md section 4): the
         # extend hash is affine in the class id — eh1 = h1[k]*M1 + c + 1 —
         # so "which class extended from beam k merges into beam j" has the
@@ -165,7 +189,15 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
         # ~5). The second hash still verifies the merge (collision odds
         # unchanged vs v1, which compared both hashes too).
         exts = []
-        abs_j = [jnp.full((B_BLK, 1), NEG_INF) for _ in range(K)]
+        # Per-target-beam union tiles: the K contributions merging into
+        # beam j land on K DISTINCT lanes of one (B, C_pad) tile (for a
+        # fixed j, c_kj = h1[j] - h1[k]*M1 - 1 is injective in h1[k], and
+        # live beams never share a hash — the fresh-hash rule for dead
+        # lanes exists precisely to keep this true), so the old per-pair
+        # masked-sum reduction (K^2 full lane reductions per frame, the
+        # join's dominant cost) collapses to K where-merges + ONE
+        # logsumexp per target beam.
+        uni_j = [jnp.full((B_BLK, LANES), NEG_INF) for _ in range(K)]
         for k in range(K):
             is_rep = lane_c == g_last[k]
             ext = jnp.where(is_rep, g_pb[k], g_pt[k]) + lp_nb  # (B, C_pad)
@@ -178,17 +210,23 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
                 c_kj = g_h1[j] - h1k_m - 1                   # (B, 1)
                 valid = ((g_h2[j] == h2k_m + c_kj + 1)
                          & (c_kj >= 0) & (c_kj < C))
-                onehot = lane_c == c_kj                      # (B, C_pad)
                 # Exactly one lane hits when valid (affine injectivity).
-                contrib = jnp.sum(jnp.where(onehot, ext, 0.0), axis=1,
-                                  keepdims=True)
-                abs_j[j] = _logaddexp(
-                    abs_j[j], jnp.where(valid, contrib, NEG_INF))
-                merged = merged | (onehot & valid)
+                hit = (lane_c == c_kj) & valid               # (B, C_pad)
+                uni_j[j] = jnp.where(hit, ext, uni_j[j])
+                merged = merged | hit
             exts.append(jnp.where(merged, NEG_INF, ext))
         absorbed = jnp.full((B_BLK, LANES), NEG_INF)
         for j in range(K):
-            absorbed = _set_lane(absorbed, j, abs_j[j])
+            # logsumexp over the union tile's lanes (guarded for the
+            # nothing-merged row: exp is only taken where a lane is live).
+            m = _maxlane(uni_j[j])
+            live_m = m > NEG_INF * 0.5
+            safe = jnp.where(live_m, m, 0.0)
+            e = jnp.where(uni_j[j] > NEG_INF * 0.5,
+                          jnp.exp(uni_j[j] - safe), 0.0)
+            s = jnp.sum(e, axis=1, keepdims=True)
+            abs_j = jnp.where(live_m, safe + jnp.log(s), NEG_INF)
+            absorbed = _set_lane(absorbed, j, abs_j)
         stay_pnb = _logaddexp(stay_pnb, absorbed)
         stay_tot = _logaddexp(stay_pb, stay_pnb)
         lane_k = _lane_iota(stay_tot.shape)
@@ -198,7 +236,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
         # Stored probabilities stay acoustic-only (matching the XLA
         # version); the cumulative LM score rides its own lane tile.
         if have_lm:
-            g_lm = [_gather_lane(cur_lm, kconst[k]) for k in range(K)]
+            g_lm = [_static_lane(cur_lm, k) for k in range(K)]
             ext_lms, ranks = [], []
             for k in range(K):
                 # lm_tab row for beam k's LM context, as a one-hot matmul
@@ -237,28 +275,26 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
         parents = jnp.zeros((B_BLK, LANES), jnp.int32)
         chars = jnp.full((B_BLK, LANES), -1, jnp.int32)
 
-        # Round-3 selection rewrite: per round, per-array maxes come from
-        # ONE maxlane pass each (v1 ran a full 4-pass argmax per array) and
-        # the argmax runs once on the winner-masked union; the stay-side
-        # one-hot is shared across all seven field gathers. Tie semantics
-        # are IDENTICAL to v1 (and to the XLA search's top_k index order):
-        # stays win ties, then arrays in ascending k (the take chain),
-        # then the lowest class lane within the winning array (argmax_lane
-        # returns the first lane on ties).
+        # Round-3 selection rewrite v2: a source-max tile M keeps the
+        # current max of every candidate array in a lane (lane 0 = stays,
+        # lane k+1 = extends from beam k), so the per-round winner is ONE
+        # argmax over M instead of K+1 fresh maxlane reductions — only the
+        # winning source's lane is refreshed after removal (its
+        # post-removal max falls out of sel_rank, which the class argmax
+        # needs anyway). Tie semantics are IDENTICAL to v1 (and to the
+        # XLA search's top_k index order): argmax_lane returns the first
+        # lane on ties -> stays win, then arrays in ascending k, then the
+        # lowest class lane within the winning array.
+        src_tile = jnp.full((B_BLK, LANES), NEG_INF)
+        src_tile = _set_lane(src_tile, 0, _maxlane(stay_rank))
+        for k in range(K):
+            src_tile = _set_lane(src_tile, k + 1, _maxlane(ranks[k]))
+        lane_src = _lane_iota(src_tile.shape)
         for sel in range(K):
-            s_idx, s_max = _argmax_lane(stay_rank)
-            e_max = [_maxlane(r) for r in ranks]
-            best = s_max
-            for em in e_max:
-                best = jnp.maximum(best, em)
-            # source resolution, stays win ties
-            take_stay = s_max >= best
-            taken = take_stay
-            take_ext = []
-            for k in range(K):
-                tk = (~taken) & (e_max[k] >= best)
-                take_ext.append(tk)
-                taken = taken | tk
+            src_idx, _ = _argmax_lane(src_tile)
+            take_stay = src_idx == 0
+            take_ext = [src_idx == k + 1 for k in range(K)]
+            s_idx, _ = _argmax_lane(stay_rank)
             # Class lane of the winning array's max: mask losing arrays to
             # NEG_INF and argmax the union (exactly one array is unmasked
             # per row, so this is that array's first-max lane). CLASS-lane
@@ -268,7 +304,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
             for k in range(K):
                 sel_rank = jnp.maximum(
                     sel_rank, jnp.where(take_ext[k], ranks[k], NEG_INF))
-            c_idx, _ = _argmax_lane(sel_rank)
+            c_idx, sel_max = _argmax_lane(sel_rank)
             onehot_c = lane_c == c_idx                       # shared
             onehot_s = lane_k == s_idx                       # shared
 
@@ -307,7 +343,9 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
                     sel_pnb = jnp.where(tk, ext_pnb, sel_pnb)
                     sel_lm = jnp.where(tk, ext_lm_v, sel_lm)
                 else:
-                    sel_pnb = jnp.where(tk, e_max[k], sel_pnb)
+                    # No-LM ranks ARE the extend probabilities, so the
+                    # winning array's value is sel_rank's max itself.
+                    sel_pnb = jnp.where(tk, sel_max, sel_pnb)
                 sel_pb = jnp.where(tk, NEG_INF, sel_pb)
                 sel_h1 = jnp.where(tk, g_h1[k] * _M1 + c_idx + 1, sel_h1)
                 sel_h2 = jnp.where(tk, g_h2[k] * _M2 + c_idx + 1, sel_h2)
@@ -350,12 +388,19 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
             parents = _set_lane(parents, sel, sel_parent)
             chars = _set_lane(chars, sel, sel_char)
 
-            # Remove the chosen candidate from its source (one lane).
+            # Remove the chosen candidate from its source (one lane), and
+            # refresh the winning source's lane of the source-max tile
+            # (all other lanes are untouched by the removal).
             stay_hit = take_stay & onehot_s
             stay_rank = jnp.where(stay_hit, NEG_INF, stay_rank)
             for k in range(K):
                 hit = take_ext[k] & onehot_c
                 ranks[k] = jnp.where(hit, NEG_INF, ranks[k])
+            if sel < K - 1:
+                new_smax = _maxlane(stay_rank)
+                new_emax = _maxlane(jnp.where(onehot_c, NEG_INF, sel_rank))
+                new_max = jnp.where(take_stay, new_smax, new_emax)
+                src_tile = jnp.where(lane_src == src_idx, new_max, src_tile)
 
         # ---- freeze finished rows ----
         live = (t_abs < lens_ref[:]).astype(jnp.float32)  # (B_BLK, 1)
