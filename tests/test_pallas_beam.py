@@ -143,3 +143,30 @@ def test_respects_lengths(rng):
                                   np.asarray(o2["tokens"]))
     np.testing.assert_allclose(np.asarray(o1["scores"]),
                                np.asarray(o2["scores"]), rtol=1e-6)
+
+
+def test_lane_slice_variant_matches(monkeypatch):
+    """The recorded-negative-result lane-slice path
+    (TPUASR_BEAM_LANE_SLICE=1, see the module comment: measured ~10 ms
+    slower on chip but semantically identical) must stay correct so the
+    A/B remains re-runnable."""
+    import tpuasr.decode.pallas_beam as pb
+
+    rng = np.random.default_rng(17)
+    B, T, C = 2, 7, 5
+    logits = rng.standard_normal((B, T, C)).astype(np.float32) * 1.5
+    lp = jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    lens = jnp.array([T, T - 3])
+    cfg = BeamSearchConfig(beam_width=4, class_topk=C - 1, max_len=T)
+    base = ctc_beam_search_pallas(lp, lens, cfg, n_best=2)
+    monkeypatch.setattr(pb, "_STATIC_LANE_SLICE", True)
+    pb._build.cache_clear()  # kernels are cached per shape, not per flag
+    try:
+        alt = ctc_beam_search_pallas(lp, lens, cfg, n_best=2)
+    finally:
+        monkeypatch.setattr(pb, "_STATIC_LANE_SLICE", False)
+        pb._build.cache_clear()
+    np.testing.assert_array_equal(np.asarray(base["tokens"]),
+                                  np.asarray(alt["tokens"]))
+    np.testing.assert_allclose(np.asarray(base["scores"]),
+                               np.asarray(alt["scores"]), rtol=1e-6)

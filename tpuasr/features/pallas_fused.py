@@ -9,13 +9,18 @@ One kernel performs, per (utterance, time-block) grid step:
       -> power (VPU)  -> mel (T_BLK, F)@(F, M) matmul (MXU)
 
 so the spectral intermediates (re/im/power, (B, T, n_freqs) each) never
-round-trip through HBM between the two matmuls. Framing itself is an
-hop-strided gather done by XLA *outside* the kernel: hop (80 samples at
-8 kHz/10 ms) is not lane-aligned, and Mosaic (correctly) refuses dynamic
-VMEM loads at non-128-multiple lane offsets — an aligned gather feeding an
-aligned kernel is the TPU-native formulation. All matmul dims are padded to
-128 lanes with zeros (zero rows/cols contribute nothing). CMVN stays outside
-(a masked reduction XLA fuses into the consumer).
+round-trip through HBM between the two matmuls. Framing happens INSIDE the
+kernel too (round-3 rewrite): the wav is reshaped (free) to hop-sized rows
+(B, T, hop), the kernel fetches the current and next time blocks of rows,
+and each overlapping window is assembled from STATIC sublane shifts + a
+lane concat — no dynamic VMEM indexing (which Mosaic correctly refuses at
+non-128-multiple lane offsets), and no XLA hop-strided gather materializing
+a (B, T, win_pad) framed tensor in HBM (the round-1/2 formulation: that
+gather plus its 131 MB round trip was ~2/3 of the featurizer's runtime at
+B=128). Configs whose hop exceeds 128 lanes fall back to the old
+gather-outside path (`_kernel_logmel_gather`). All matmul dims are padded
+to 128 lanes with zeros (zero rows/cols contribute nothing). CMVN stays
+outside (a masked reduction XLA fuses into the consumer).
 
 Parity: must match features/reference.py (same constant matrices) — see
 tests/test_features_pallas.py.
@@ -34,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuasr.features import functional as F
 from tpuasr.features.reference import FeatureConfig, num_frames
 
-T_BLK = 128
+T_BLK = 256
 
 
 def _round_up(x, m):
@@ -57,6 +62,76 @@ def _fused_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref,
     mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
                   precision=hi)
     out_ref[0] = mel                                   # (T_BLK, out_dim)
+
+
+def _make_framed_kernel(hop: int, win: int, win_pad: int):
+    """Kernel variant that assembles the overlapping analysis windows from
+    hop-sized rows in VMEM. Frame i of the block needs samples
+    [i*hop, i*hop + win): with rows r[i] = wav[i*hop:(i+1)*hop], that is
+    rows i..i+n_full (n_full = ceil(win/hop) - 1 full rows + a remainder),
+    i.e. a lane concat of sublane-SHIFTED copies of the row tile — all
+    shifts static, the cross-block tail coming from the next block's rows.
+    """
+    n_full = win // hop
+    rem = win - n_full * hop
+
+    def kernel(rcur_ref, rnext_ref, window_ref, cos_ref, sin_ref, mel_ref,
+               out_ref):
+        hi = jax.lax.Precision.HIGHEST
+        r0 = rcur_ref[0]                               # (T_BLK, hop)
+        rn = rnext_ref[0]
+        parts = []
+        for s in range(n_full):
+            parts.append(r0 if s == 0 else
+                         jnp.concatenate([r0[s:], rn[:s]], axis=0))
+        if rem:
+            s = n_full
+            tail = r0 if s == 0 else jnp.concatenate([r0[s:], rn[:s]],
+                                                     axis=0)
+            parts.append(tail[:, :rem])
+        if win_pad > win:
+            parts.append(jnp.zeros((r0.shape[0], win_pad - win),
+                                   jnp.float32))
+        frames = jnp.concatenate(parts, axis=1)        # (T_BLK, win_pad)
+        w = frames * window_ref[:]
+        re = jnp.dot(w, cos_ref[:], preferred_element_type=jnp.float32,
+                     precision=hi)
+        im = jnp.dot(w, sin_ref[:], preferred_element_type=jnp.float32,
+                     precision=hi)
+        power = re * re + im * im
+        mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                      precision=hi)
+        out_ref[0] = mel
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call_framed(B: int, hop: int, win: int, win_pad: int, f_pad: int,
+                       out_dim: int, n_tb: int, interpret: bool = False):
+    return pl.pallas_call(
+        _make_framed_kernel(hop, win, win_pad),
+        grid=(B, n_tb),
+        in_specs=[
+            pl.BlockSpec((1, T_BLK, hop), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),           # rows, block t
+            pl.BlockSpec((1, T_BLK, hop), lambda b, t: (b, t + 1, 0),
+                         memory_space=pltpu.VMEM),           # rows, t + 1
+            pl.BlockSpec((1, win_pad), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),           # window
+            pl.BlockSpec((win_pad, f_pad), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),           # cos
+            pl.BlockSpec((win_pad, f_pad), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),           # sin
+            pl.BlockSpec((f_pad, out_dim), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),           # mel
+        ],
+        out_specs=pl.BlockSpec((1, T_BLK, out_dim), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tb * T_BLK, out_dim),
+                                       jnp.float32),
+        interpret=interpret,
+    )
 
 
 @functools.lru_cache(maxsize=16)
@@ -153,18 +228,35 @@ class FusedFeaturizer:
         T = num_frames(c, S)
         n_tb = max(1, -(-T // T_BLK))
         T_pad = n_tb * T_BLK
-        # Hop-strided framing gather (aligned work happens in the kernel).
-        need = (T_pad - 1) * c.hop_length + c.win_length
-        wav_p = jnp.pad(wav, ((0, 0), (0, max(0, need - S))))
-        idx = (np.arange(T_pad)[:, None] * c.hop_length
-               + np.arange(c.win_length)[None, :])
-        frames = wav_p[:, idx]                                # (B, T_pad, win)
-        frames = jnp.pad(
-            frames, ((0, 0), (0, 0), (0, self._win_pad - c.win_length)))
-        call = _build_call(B, self._win_pad, self._f_pad, self._proj_pad,
-                           n_tb, jax.default_backend() != "tpu")
-        mel = call(frames, tabs["window"], tabs["cos"], tabs["sin"],
-                   tabs["proj"])
+        interp = jax.default_backend() != "tpu"
+        # Framed path needs hop to fit a lane tile and the window to span
+        # at most the next block of rows (shifts stay within two blocks).
+        if c.hop_length <= 128 and c.win_length // c.hop_length <= T_BLK:
+            # In-kernel framing from hop-sized rows (see module docstring):
+            # one extra zero block of rows so the t+1 BlockSpec stays in
+            # range AND supplies the final frames' tail zeros.
+            need = (T_pad + T_BLK) * c.hop_length
+            wav_p = jnp.pad(wav, ((0, 0), (0, max(0, need - S))))
+            rows = wav_p[:, :need].reshape(B, T_pad + T_BLK, c.hop_length)
+            call = _build_call_framed(B, c.hop_length, c.win_length,
+                                      self._win_pad, self._f_pad,
+                                      self._proj_pad, n_tb, interp)
+            mel = call(rows, rows, tabs["window"], tabs["cos"], tabs["sin"],
+                       tabs["proj"])
+        else:
+            # Fallback (hop wider than a lane tile): hop-strided framing
+            # gather by XLA outside, aligned work in the kernel.
+            need = (T_pad - 1) * c.hop_length + c.win_length
+            wav_p = jnp.pad(wav, ((0, 0), (0, max(0, need - S))))
+            idx = (np.arange(T_pad)[:, None] * c.hop_length
+                   + np.arange(c.win_length)[None, :])
+            frames = wav_p[:, idx]                            # (B, T_pad, win)
+            frames = jnp.pad(
+                frames, ((0, 0), (0, 0), (0, self._win_pad - c.win_length)))
+            call = _build_call(B, self._win_pad, self._f_pad,
+                               self._proj_pad, n_tb, interp)
+            mel = call(frames, tabs["window"], tabs["cos"], tabs["sin"],
+                       tabs["proj"])
         mel = mel[:, :T, :self._proj_dim]
         return jnp.log(jnp.maximum(mel, c.log_floor))
 
