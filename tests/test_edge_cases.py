@@ -23,9 +23,13 @@ def test_beam_large_class_count(rng):
     assert np.all((toks[:n] > 0) & (toks[:n] < C))
 
 
-@pytest.mark.slow
 def test_pallas_beam_large_class_count(rng):
-    """C=200 -> C_pad=256 path in the Pallas kernel (interp on CPU)."""
+    """C=200 -> C_pad=256 path in the Pallas kernel (interp on CPU).
+
+    DEFAULT tier on purpose (was slow-tier): the round-3 join union-tile
+    rewrite shipped a C_pad>LANES shape bug that only this shape class
+    catches — the default gate must cover it (~15 s, mostly trace time).
+    """
     from jax.experimental.pallas import tpu as pltpu
     from tpuasr.decode.pallas_beam import ctc_beam_search_pallas
     B, T, C = 1, 6, 200

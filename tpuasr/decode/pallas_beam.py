@@ -167,8 +167,10 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
 
         # ---- extend candidates, hash-join into stays ----
         # Hoist all per-beam lane reads once (reused across the K x K
-        # join and the selection loop below); beam lanes are static, so
-        # these are slices, not one-hot reductions.
+        # join and the selection loop below). Static-index reads, shipped
+        # as one-hot reductions — the lax.slice lowering is A/B-able via
+        # TPUASR_BEAM_LANE_SLICE but measured ~10 ms slower (see the
+        # module-level flag comment).
         kconst = [jnp.full((B_BLK, 1), k, jnp.int32) for k in range(K)]
         g_pb = [_static_lane(cur_pb, k) for k in range(K)]
         g_pt = [_static_lane(p_tot, k) for k in range(K)]
@@ -197,7 +199,7 @@ def _beam_kernel(K, C, blank, max_len, t_blk_n, lm_w, lm_order,
         # masked-sum reduction (K^2 full lane reductions per frame, the
         # join's dominant cost) collapses to K where-merges + ONE
         # logsumexp per target beam.
-        uni_j = [jnp.full((B_BLK, LANES), NEG_INF) for _ in range(K)]
+        uni_j = [jnp.full(lp.shape, NEG_INF) for _ in range(K)]  # (B, C_pad)
         for k in range(K):
             is_rep = lane_c == g_last[k]
             ext = jnp.where(is_rep, g_pb[k], g_pt[k]) + lp_nb  # (B, C_pad)
@@ -515,8 +517,11 @@ def ctc_beam_search_pallas(log_probs, lengths, cfg: BeamSearchConfig = None,
     if cfg is None:
         cfg = BeamSearchConfig()
     K = cfg.beam_width
-    if K > LANES:
-        raise ValueError(f"beam_width {K} > {LANES}")
+    if K + 1 > LANES:
+        # The selection's source-max tile needs K+1 lanes (lane 0 = stays,
+        # lanes 1..K = per-beam extends): at K == LANES beam K-1's lane
+        # would silently fall off the tile and its extends never select.
+        raise ValueError(f"beam_width {K} + 1 > {LANES} lanes")
     if lm_bigram is not None and lm_trigram is not None:
         raise ValueError("pass lm_bigram OR lm_trigram, not both")
     B, T, C = log_probs.shape

@@ -18,7 +18,8 @@ non-128-multiple lane offsets), and no XLA hop-strided gather materializing
 a (B, T, win_pad) framed tensor in HBM (the round-1/2 formulation: that
 gather plus its 131 MB round trip was ~2/3 of the featurizer's runtime at
 B=128). Configs whose hop exceeds 128 lanes fall back to the old
-gather-outside path (`_kernel_logmel_gather`). All matmul dims are padded
+gather-outside path (the else branch of `_kernel_logmel`, feeding
+`_fused_kernel`). All matmul dims are padded
 to 128 lanes with zeros (zero rows/cols contribute nothing). CMVN stays
 outside (a masked reduction XLA fuses into the consumer).
 
@@ -81,14 +82,10 @@ def _make_framed_kernel(hop: int, win: int, win_pad: int):
         r0 = rcur_ref[0]                               # (T_BLK, hop)
         rn = rnext_ref[0]
         parts = []
-        for s in range(n_full):
-            parts.append(r0 if s == 0 else
-                         jnp.concatenate([r0[s:], rn[:s]], axis=0))
-        if rem:
-            s = n_full
-            tail = r0 if s == 0 else jnp.concatenate([r0[s:], rn[:s]],
+        for s in range(n_full + (1 if rem else 0)):
+            part = r0 if s == 0 else jnp.concatenate([r0[s:], rn[:s]],
                                                      axis=0)
-            parts.append(tail[:, :rem])
+            parts.append(part if s < n_full else part[:, :rem])
         if win_pad > win:
             parts.append(jnp.zeros((r0.shape[0], win_pad - win),
                                    jnp.float32))
