@@ -77,11 +77,16 @@ def main() -> int:
     fp32 = "--fp32" in sys.argv or "--no-int8" in sys.argv
     int8 = not fp32
     int8_rec = int8 and "--no-int8-rec" not in sys.argv
+    # conv2 int8 tap-GEMM (ops/pallas_conv.py): A/B flag until its WER
+    # delta is recorded in the harness (the GRU int8 path's promotion
+    # playbook — see WERDELTA --int8-conv columns once measured).
+    int8_conv = "--int8-conv" in sys.argv
     model = create_model("deepspeech_ctc", num_classes=NUM_CLASSES,
                          rnn_hidden=512, rnn_layers=4, pallas_gru=on_tpu,
                          bf16_gru=on_tpu, fused_proj=on_tpu,
                          int8_proj=int8 and on_tpu,
-                         int8_rec=int8_rec and on_tpu)
+                         int8_rec=int8_rec and on_tpu,
+                         int8_conv=int8_conv and on_tpu)
 
     rng = np.random.default_rng(0)
     wav = rng.standard_normal((B, S)).astype(np.float32) * 0.1

@@ -173,6 +173,41 @@ def main() -> int:
     check("gru_scan_xfused_q8 (int8 proj + rec, exact grid)", gru_q8_dev,
           tol=1e-4)
 
+    def conv_q8_dev():
+        # Same two-part gate as the q8 GRU: grid-exact inputs against an
+        # exact integer gold (Mosaic int8-matmul + framing lowering), and
+        # the compiled kernel against the pure-jnp quantized reference.
+        from tpuasr.ops.pallas_conv import (conv_taps_q8,
+                                            reference_q8_conv_taps)
+        from tpuasr.ops.quant import quantize_per_channel
+        rq = np.random.default_rng(91)
+        B8, T8, K8, N8, Kt8 = 2, 150, 128, 256, 11
+        xg = rq.integers(-127, 128,
+                         size=(B8, T8 + Kt8 - 1, K8)).astype(np.float32)
+        xg[:, :, 0] = 127.0
+        qg = rq.integers(-127, 128, size=(Kt8, K8, N8)).astype(np.float32)
+        qg[:, 0, :] = 127.0
+        sc = rq.uniform(0.5, 2.0, size=(N8,)).astype(np.float32) / 127.0
+        m = jnp.asarray(qg * sc[None, None, :])
+        mq, sw = quantize_per_channel(m.reshape(-1, N8))
+        mq = mq.reshape(Kt8, K8, N8)
+        out = conv_taps_q8(jnp.asarray(xg), mq, sw, T8)
+        gold = np.zeros((B8, T8, N8), np.float64)
+        for t in range(Kt8):
+            gold += xg[:, t:t + T8].astype(np.float64) @ qg[t].astype(
+                np.float64)
+        gold *= np.asarray(sw, np.float64)[None, None, :]
+        dev_grid = float(np.max(np.abs(np.asarray(out, np.float64) - gold)
+                                / np.maximum(np.abs(gold), 1.0)))
+        xr = jnp.asarray(rq.standard_normal(
+            (B8, T8 + Kt8 - 1, K8)).astype(np.float32))
+        a = conv_taps_q8(xr, mq, sw, T8)
+        b = reference_q8_conv_taps(xr, mq, sw, T8)
+        dev_ref = float(jnp.max(jnp.abs(a - b)))
+        return max(dev_grid, dev_ref)
+    check("conv_taps_q8 (int8 tap-GEMM conv, exact grid)", conv_q8_dev,
+          tol=1e-4)
+
     from tpuasr.models.layers import BiGRU
 
     def bidir_dev():

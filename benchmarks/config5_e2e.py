@@ -37,10 +37,12 @@ def main():
     fz = FusedFeaturizer(FeatureConfig())
     int8 = ("--int8" in sys.argv or "--int8-rec" in sys.argv)
     int8_rec = "--int8-rec" in sys.argv  # quantized serving A/B (KERNELS §6)
+    int8_conv = "--int8-conv" in sys.argv  # conv2 tap-GEMM (pallas_conv)
     model = create_model("deepspeech_ctc", num_classes=64,
                          pallas_gru=on_tpu, bf16_gru=on_tpu,
                          fused_proj=on_tpu, int8_proj=int8 and on_tpu,
-                         int8_rec=int8_rec and on_tpu)
+                         int8_rec=int8_rec and on_tpu,
+                         int8_conv=int8_conv and on_tpu)
     feats0, flens0 = fz(wav, lens)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), feats0, flens0, train=False)

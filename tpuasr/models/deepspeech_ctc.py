@@ -48,6 +48,11 @@ class DeepSpeechCTC(nn.Module):
     # a full-lane (B*T, F*Cin)@(F*Cin, Fo*Cout) matmul instead of a
     # C_out=32 lane-starved conv; same params, equal up to f32 rounding.
     matmul_frontend: bool = False
+    # int8 Pallas tap-GEMM for conv2 (ops/pallas_conv.py): inference only
+    # (falls back to the sliding conv when train=True — rounding has zero
+    # gradient), same f32 checkpoint, weights quantized per forward call.
+    # conv1 keeps the sliding conv (time stride 2; ~10% of frontend FLOPs).
+    int8_conv: bool = False
 
     @nn.compact
     def __call__(self, feats, feat_lens, train: bool = False):
@@ -69,7 +74,8 @@ class DeepSpeechCTC(nn.Module):
         x = x * tmask
         x = FrontConv(self.conv_channels, (11, 21), strides=(1, 2),
                       padding=pad2, name="conv2", dtype=cdt,
-                      use_matmul=self.matmul_frontend)(x)
+                      use_matmul=self.matmul_frontend,
+                      use_matmul_q8=self.int8_conv and not train)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          axis_name=self.axis_name, name="conv2_bn")(x)
         x = nn.relu(x)

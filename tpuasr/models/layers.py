@@ -306,6 +306,25 @@ class FrontConv(nn.Module):
     padding: object = "SAME"          # "SAME" | [(lo,hi),(lo,hi)]
     dtype: object = None
     use_matmul: bool = False
+    use_matmul_q8: bool = False       # int8 Pallas tap-GEMM (serving only;
+                                      # time stride must be 1 — see
+                                      # ops/pallas_conv.py)
+
+    @staticmethod
+    def band_matrices(w, F, F_out, Kf, sf, pf_lo):
+        """(Kt, Kf, Cin, Cout) kernel -> (Kt, F*Cin, F_out*Cout) per-tap
+        freq-Toeplitz band matrices: M[t, (fi, ci), (fo, co)] =
+        w[t, fi - fo*sf + pf_lo, ci, co] where the tap index is valid,
+        else 0 (out-of-range fi is the zero freq-padding, folded in)."""
+        Kt = w.shape[0]
+        fi = jnp.arange(F)[:, None]
+        fo = jnp.arange(F_out)[None, :]
+        d = fi - fo * sf + pf_lo                     # (F, F_out)
+        valid = (d >= 0) & (d < Kf)
+        wt = jnp.where(valid[None, :, :, None, None],
+                       w[:, jnp.clip(d, 0, Kf - 1)], 0)  # (Kt,F,Fo,Ci,Co)
+        return jnp.transpose(wt, (0, 1, 3, 2, 4)).reshape(
+            Kt, F * w.shape[2], F_out * w.shape[3])
 
     @nn.compact
     def __call__(self, x):
@@ -322,26 +341,34 @@ class FrontConv(nn.Module):
             pt, pf = _same_pad(T, Kt, st), _same_pad(F, Kf, sf)
         else:
             pt, pf = tuple(self.padding[0]), tuple(self.padding[1])
-        if not self.use_matmul:
+        if not (self.use_matmul or self.use_matmul_q8):
             return jax.lax.conv_general_dilated(
                 x, w, window_strides=(st, sf), padding=[pt, pf],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         T_out = (T + pt[0] + pt[1] - Kt) // st + 1
         F_out = (F + pf[0] + pf[1] - Kf) // sf + 1
-        # Band matrix per time tap: M[t, (fi, ci), (fo, co)] =
-        # w[t, fi - fo*sf + pf_lo, ci, co] where the tap index is valid,
-        # else 0 (out-of-range fi is the zero freq-padding, folded in).
-        fi = jnp.arange(F)[:, None]
-        fo = jnp.arange(F_out)[None, :]
-        d = fi - fo * sf + pf[0]                     # (F, F_out)
-        valid = (d >= 0) & (d < Kf)
-        wt = jnp.where(valid[None, :, :, None, None],
-                       w[:, jnp.clip(d, 0, Kf - 1)], 0)  # (Kt,F,Fo,Ci,Co)
-        m = jnp.transpose(wt, (0, 1, 3, 2, 4)).reshape(
-            Kt, F * Cin, F_out * self.features)
+        N = F_out * self.features
+        if self.use_matmul_q8:
+            if st != 1:
+                raise ValueError("use_matmul_q8 needs time stride 1 "
+                                 "(ops/pallas_conv.py)")
+            if (F * Cin) % 128 or N % 128:
+                raise ValueError(f"use_matmul_q8 needs lane-aligned dims, "
+                                 f"got K={F * Cin}, N={N}")
+            from tpuasr.ops.pallas_conv import conv_taps_q8
+            from tpuasr.ops.quant import quantize_per_channel
+            m = self.band_matrices(kernel.astype(jnp.float32), F, F_out,
+                                   Kf, sf, pf[0])
+            mq, sw = quantize_per_channel(m.reshape(-1, N))
+            xp = jnp.pad(x.astype(jnp.float32),
+                         ((0, 0), (pt[0], pt[1]), (0, 0), (0, 0)))
+            out = conv_taps_q8(xp.reshape(B, -1, F * Cin),
+                               mq.reshape(Kt, F * Cin, N), sw, T_out)
+            return out.reshape(B, T_out, F_out, self.features).astype(dt)
+        m = self.band_matrices(w, F, F_out, Kf, sf, pf[0])
         xp = jnp.pad(x, ((0, 0), (pt[0], pt[1]), (0, 0), (0, 0)))
         xf = xp.reshape(B, T + pt[0] + pt[1], F * Cin)
-        acc = jnp.zeros((B, T_out, F_out * self.features), jnp.float32)
+        acc = jnp.zeros((B, T_out, N), jnp.float32)
         for t in range(Kt):
             xs = jax.lax.slice(
                 xf, (0, t, 0), (B, t + (T_out - 1) * st + 1, F * Cin),
