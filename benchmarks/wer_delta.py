@@ -186,9 +186,12 @@ def main():
     # First-pass WFST decode (the latgen path): the TL graph built from
     # the SAME lexicon drives the search (host C++ token passing); word
     # olabels are 1-based over words.txt order (lexicon_to_fst).
-    from tpuasr.decode import lexicon_to_fst, wfst_ctc_decode
+    from tpuasr.decode import (lexicon_to_fst, wfst_ctc_decode,
+                               wfst_ctc_decode_nbest)
     tl_fst = lexicon_to_fst(train_c.word_prons)
     word_hyp_fst = []    # word-id hypotheses straight off the graph
+    fst_nbest = []       # lattice n-best word-id hypotheses (oracle WER)
+    fst_conf = []        # mean best-hyp word confidence per utterance
     n_fst_final = 0
     words = SymbolTable.load(train_c.words_txt)
     phones = SymbolTable.from_list(train_c.vocab)
@@ -216,6 +219,11 @@ def main():
             hg_t, hg_l = native.ctc_greedy_host(lp_np, ol_np)
         fd = wfst_ctc_decode(tl_fst, lp_np, ol_np, beam=12.0,
                              max_active=500)
+        # Lattice n-best (native/wfst_lattice.cc): oracle WER over the
+        # top-10 measures lattice quality the way Kaldi's oracle tool
+        # does; the best-hyp word posteriors feed a calibration check.
+        nb = wfst_ctc_decode_nbest(tl_fst, lp_np, ol_np, beam=12.0,
+                                   max_active=500, lat_beam=8.0, nbest=10)
         for j in range(len(batch["real"])):
             if not batch["real"][j]:
                 continue
@@ -223,6 +231,14 @@ def main():
             word_hyp_fst.append([int(w) - 1
                                  for w in fd["words"][j, :nf]])
             n_fst_final += int(bool(fd["reached_final"][j]))
+            hyps_j = []
+            for i in range(int(nb["nhyp"][j])):
+                L = int(nb["word_lens"][j, i])
+                hyps_j.append([int(w) - 1 for w in nb["words"][j, i, :L]])
+            fst_nbest.append(hyps_j or [[]])
+            L0 = int(nb["word_lens"][j, 0])
+            fst_conf.append(float(nb["confidences"][j, :L0].mean())
+                            if L0 else 1.0)
             refs.append(batch["tokens"][j][:batch["token_lens"][j]].tolist())
             word_refs.append([words[w] for w in
                               utt_by_id[batch["ids"][j]].text.split()])
@@ -306,6 +322,23 @@ def main():
     out["fst_vs_beam_delta"] = round(
         out["wer_fst_decode"] - wwer["bx"], 4)
     out["fst_final_frac"] = round(n_fst_final / max(len(refs), 1), 4)
+    # Lattice quality: oracle WER over the top-10 n-best (per-utterance
+    # min edit distance, Kaldi lattice-oracle style) and confidence
+    # calibration (best-hyp word posteriors should be higher on correct
+    # utterances than on errorful ones).
+    from tpuasr.utils.metrics import edit_distance
+    o_err = o_len = 0
+    conf_ok, conf_bad = [], []
+    for ref, hyps_j, cf in zip(word_refs, fst_nbest, fst_conf):
+        per = [edit_distance(ref, h) for h in hyps_j]
+        o_err += min(per)
+        o_len += max(len(ref), 1)
+        (conf_ok if per[0] == 0 else conf_bad).append(cf)
+    out["wer_fst_nbest_oracle"] = round(o_err / max(o_len, 1), 4)
+    if conf_ok:
+        out["fst_conf_correct"] = round(float(np.mean(conf_ok)), 4)
+    if conf_bad:
+        out["fst_conf_errorful"] = round(float(np.mean(conf_bad)), 4)
     if soft_hyp is not None:
         soft_words = {k: [lexdec.decode(h) for h in v]
                       for k, v in soft_hyp.items()}
