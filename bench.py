@@ -22,10 +22,13 @@ import numpy as np
 def main() -> int:
     # Wedged-tunnel guard: a CPU fallback (labeled in the JSON) beats an
     # unbounded hang under the driver — see tpuasr/utils/tpu_probe.py.
-    from tpuasr.utils.tpu_probe import probe_tpu
+    # Round 4: bounded retries with backoff (~13 min worst case) so a
+    # *transient* wedge no longer costs the round its chip artifact the
+    # way BENCH_r03.json did (VERDICT r3 weak #1 / next #3).
+    from tpuasr.utils.tpu_probe import probe_tpu_retry
 
     want_cpu = os.environ.get("TPUASR_PLATFORM") == "cpu"
-    tpu_ok = (not want_cpu) and probe_tpu()
+    tpu_ok = (not want_cpu) and probe_tpu_retry()
 
     import jax
 
@@ -173,5 +176,27 @@ def main() -> int:
     return 0
 
 
+def _main_with_body_retry() -> int:
+    """Run main(); on a crash of the TPU body (e.g. FAILED_PRECONDITION
+    from a tunnel that wedged *after* the probe passed), re-exec once in a
+    fresh subprocess — backend init state is process-level, so a clean
+    process is the only real retry. Guarded by an env flag to bound the
+    recursion at one retry."""
+    try:
+        return main()
+    except Exception:
+        if os.environ.get("TPUASR_BENCH_REEXEC") == "1":
+            raise
+        import subprocess
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print("bench.py: body crashed; retrying once in a fresh process",
+              file=sys.stderr)
+        env = dict(os.environ, TPUASR_BENCH_REEXEC="1")
+        proc = subprocess.run([sys.executable, __file__, *sys.argv[1:]],
+                              env=env, timeout=1800)
+        return proc.returncode
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_body_retry())
