@@ -1,0 +1,379 @@
+"""Decoding-graph construction (tpuasr/decode/graph.py) + the device
+graph-constrained beam search (VERDICT r3 next #1/#4).
+
+Oracles are exhaustive: composition vs brute-force path enumeration,
+determinization vs the original's scores on random strings, ngram_to_fst vs
+a recursive min-over-backoff-paths scorer, and the graph beam vs a full
+enumeration of every (label sequence x alignment) pair on tiny shapes.
+"""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+from tpuasr.decode import (BeamSearchConfig, GraphTables, WFST,
+                           compile_graph_tables, compose, ctc_beam_search,
+                           determinize, graph_tokens_to_words,
+                           lexicon_to_fst, ngram_to_fst, wfst_ctc_decode)
+from tpuasr.decode.fst import INF
+from tpuasr.lm import train_ngram
+from tpuasr.lm.ngram import BOS, EOS
+
+WORD_PRONS = [("a", (1, 2)), ("b", (1, 3)), ("c", (2,)), ("d", (3, 1, 2))]
+SENTS = [["a", "b", "c", "a"], ["a", "c"], ["b", "c", "a"],
+         ["c", "a", "b"], ["d", "a"], ["a", "d", "c"]]
+SYM2LABEL = {"a": 1, "b": 2, "c": 3, "d": 4}
+
+
+def _random_fst(rng, n_states=5, n_arcs=12, n_ilabels=3, n_olabels=3,
+                eps_in=True, eps_out=True, acyclic=False):
+    """Random WFST. ``acyclic=True`` (arcs only src < dst) guarantees the
+    twins property, so weighted determinization provably terminates —
+    random CYCLIC weighted machines generally don't determinize (that is
+    the well-known nontermination of weighted determinization, guarded by
+    determinize()'s max_states)."""
+    fst = WFST(start=0)
+    for _ in range(n_arcs):
+        src = int(rng.integers(0, n_states - 1 if acyclic else n_states))
+        dst = int(rng.integers(src + 1, n_states)) if acyclic \
+            else int(rng.integers(0, n_states))
+        il = int(rng.integers(0 if eps_in else 1, n_ilabels + 1))
+        ol = int(rng.integers(0 if eps_out else 1, n_olabels + 1))
+        fst.add_arc(src, dst, il, ol, float(rng.uniform(0.0, 2.0)))
+    for s in rng.choice(n_states, size=2, replace=False):
+        fst.set_final(int(s), float(rng.uniform(0.0, 1.0)))
+    return fst
+
+
+def _enum_paths(fst, max_len=6, max_eps=3):
+    """All (ilabels, olabels, cost) complete paths up to max_len real
+    input symbols (eps runs bounded by max_eps between symbols)."""
+    out = []
+
+    def rec(state, ils, ols, cost, eps_run):
+        if len(ils) > max_len:
+            return
+        fw = fst.finals.get(state)
+        if fw is not None:
+            out.append((tuple(ils), tuple(ols), cost + fw))
+        if len(ils) == max_len and eps_run >= max_eps:
+            return
+        for a in fst.arcs.get(state, []):
+            if a.ilabel == 0 and eps_run >= max_eps:
+                continue
+            rec(a.dst, ils + ([a.ilabel] if a.ilabel else []),
+                ols + ([a.olabel] if a.olabel else []),
+                cost + a.weight, eps_run + 1 if a.ilabel == 0 else 0)
+
+    rec(fst.start, [], [], 0.0, 0)
+    return out
+
+
+class TestDeterminize:
+    def test_score_parity_random(self):
+        rng = np.random.default_rng(7)
+        for trial in range(6):
+            fst = _random_fst(rng, eps_out=False, acyclic=True)
+            det = determinize(fst, max_states=5000)
+            for _ in range(80):
+                n = int(rng.integers(0, 6))
+                x = [int(v) for v in rng.integers(1, 4, size=n)]
+                c1, _ = fst.score(x)
+                c2, _ = det.score(x)
+                assert (c1 == c2 == INF) or abs(c1 - c2) < 1e-6, \
+                    (trial, x, c1, c2)
+
+    def test_deterministic_no_eps(self):
+        rng = np.random.default_rng(3)
+        det = determinize(_random_fst(rng, acyclic=True), max_states=5000)
+        for s, arcs in det.arcs.items():
+            labs = [a.ilabel for a in arcs]
+            assert 0 not in labs, "eps arc survived determinization"
+            assert len(labs) == len(set(labs)), "nondeterministic state"
+
+    def test_lexicon_closure(self):
+        fst = lexicon_to_fst(WORD_PRONS)
+        det = determinize(fst)
+        rng = np.random.default_rng(0)
+        for _ in range(200):
+            n = int(rng.integers(0, 8))
+            x = [int(v) for v in rng.integers(1, 5, size=n)]
+            c1, _ = fst.score(x)
+            c2, _ = det.score(x)
+            assert (c1 == c2 == INF) or abs(c1 - c2) < 1e-9
+
+    def test_state_cap(self):
+        fst = lexicon_to_fst(WORD_PRONS)
+        with pytest.raises(ValueError, match="determinization exceeded"):
+            determinize(fst, max_states=1)
+
+
+class TestCompose:
+    def test_vs_path_enumeration(self):
+        """compose(A, B).score(x) == min over A-paths consuming x whose
+        output B accepts, of cost_A + cost_B — brute force both sides."""
+        rng = np.random.default_rng(11)
+        for trial in range(5):
+            a = _random_fst(rng, n_states=4, n_arcs=8)
+            b = _random_fst(rng, n_states=4, n_arcs=8, eps_out=False)
+            ab = compose(a, b)
+            a_paths = _enum_paths(a, max_len=4)
+            for _ in range(40):
+                n = int(rng.integers(0, 5))
+                x = tuple(int(v) for v in rng.integers(1, 4, size=n))
+                want = INF
+                for ils, ols, ca in a_paths:
+                    if ils != x:
+                        continue
+                    cb, _ = b.score(list(ols))
+                    want = min(want, ca + cb)
+                got, _ = ab.score(list(x))
+                assert (got == want == INF) or abs(got - want) < 1e-6, \
+                    (trial, x, got, want)
+
+    def test_no_duplicate_eps_paths(self):
+        """The sequencing filter must not duplicate (pathA, pathB) pairs:
+        count complete composed paths for a fixed input and compare with
+        the number of distinct (A-path, B-path) pairs."""
+        a = WFST(start=0)                       # 1:eps then eps... none
+        a.add_arc(0, 1, 1, 0, 0.5)              # consumes 1, outputs eps
+        a.add_arc(1, 2, 2, 5, 0.25)             # consumes 2, outputs 5
+        a.set_final(2, 0.0)
+        b = WFST(start=0)
+        b.add_arc(0, 1, 0, 7, 0.125)            # input-eps arc
+        b.add_arc(1, 2, 5, 5, 0.0625)
+        b.set_final(2, 0.0)
+        ab = compose(a, b)
+        paths = [p for p in _enum_paths(ab, max_len=3) if p[0] == (1, 2)]
+        # exactly ONE composed path (A-eps after 1 + B-eps interleavings
+        # must be canonicalized, not multiplied)
+        assert len(paths) == 1
+        assert abs(paths[0][2] - (0.5 + 0.25 + 0.125 + 0.0625)) < 1e-9
+        assert paths[0][1] == (7, 5)
+
+
+class TestNgramFST:
+    def _min_oracle(self, lm):
+        """Min-cost path under ARPA backoff-as-epsilon semantics, computed
+        INDEPENDENTLY of the FST: Dijkstra-style DP over context tuples.
+        (NOT per-word factorized: for order >= 3, backing off deeper than
+        needed early can skip a backoff cost later, so the min is over
+        whole context trajectories.)"""
+        contexts = {()} | {k for k in lm.ngrams
+                           if len(k) < lm.order and k != (EOS,)}
+
+        def suffix(ctx):
+            while ctx not in contexts:
+                ctx = ctx[1:]
+            return ctx
+
+        def score(words):
+            costs = {suffix((BOS,)): 0.0}
+
+            def relax_backoffs(costs):
+                # context graph is acyclic in tuple length: iterate to fix
+                for _ in range(lm.order):
+                    for h in sorted(costs, key=len, reverse=True):
+                        if not h:
+                            continue
+                        bow = lm.ngrams.get(h, (0.0, 0.0))[1]
+                        c = costs[h] - bow
+                        t = suffix(h[1:])
+                        if c < costs.get(t, INF):
+                            costs[t] = c
+                return costs
+
+            for w in list(words) + [EOS]:
+                costs = relax_backoffs(costs)
+                nxt = {}
+                for h, c in costs.items():
+                    key = h + (w,)
+                    if key in lm.ngrams:
+                        nc = c - lm.ngrams[key][0]
+                        if w == EOS:
+                            t = ("__final__",)
+                        else:
+                            t = suffix(key[-(lm.order - 1):]
+                                       if lm.order > 1 else ())
+                        if nc < nxt.get(t, INF):
+                            nxt[t] = nc
+                costs = nxt
+            return costs.get(("__final__",), INF)
+
+        return score
+
+    @pytest.mark.parametrize("order", [2, 3])
+    def test_min_path_oracle(self, order):
+        lm = train_ngram(SENTS, order=order)
+        g = ngram_to_fst(lm, SYM2LABEL)
+        oracle = self._min_oracle(lm)
+        rng = np.random.default_rng(5)
+        vocab = sorted(SYM2LABEL)
+        for _ in range(120):
+            n = int(rng.integers(0, 6))
+            s = [vocab[i] for i in rng.integers(0, len(vocab), size=n)]
+            got, outs = g.score([SYM2LABEL[w] for w in s])
+            assert abs(got - oracle(s)) < 1e-9, (s, got, oracle(s))
+            assert outs == [SYM2LABEL[w] for w in s]
+            assert got < INF    # backoff accepts every in-vocab string
+
+    def test_rejects_structural_symbols(self):
+        lm = train_ngram(SENTS, order=2)
+        with pytest.raises(ValueError, match="structural"):
+            ngram_to_fst(lm, {**SYM2LABEL, BOS: 9})
+
+
+def _ctc_logp_bruteforce(lp, y, blank=0):
+    """log P_CTC(y | lp) by enumerating ALL alignment paths (tiny T/C)."""
+    T, C = lp.shape
+    total = -np.inf
+    for path in itertools.product(range(C), repeat=T):
+        col = []
+        prev = None
+        for k in path:
+            if k != blank and k != prev:
+                col.append(k)
+            prev = k
+        if col == list(y):
+            total = np.logaddexp(total, sum(lp[t, k]
+                                            for t, k in enumerate(path)))
+    return total
+
+
+class TestGraphBeam:
+    def _tables(self):
+        L = lexicon_to_fst(WORD_PRONS)
+        lm = train_ngram(SENTS, order=2)
+        lg = compose(L, ngram_to_fst(lm, SYM2LABEL))
+        return lg, compile_graph_tables(lg, num_classes=5)
+
+    def test_universal_graph_matches_plain_beam(self):
+        """A 1-state accept-everything graph must not change the search."""
+        C = 6
+        nxt = np.zeros((1, C), np.int32)
+        nxt[:, 0] = -1
+        univ = GraphTables(nxt, np.zeros((1, C), np.float32),
+                           np.zeros(1, np.float32), start=0)
+        rng = np.random.default_rng(2)
+        lp = rng.standard_normal((3, 10, C)).astype(np.float32)
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        lens = np.array([10, 7, 4], np.int32)
+        cfg = BeamSearchConfig(beam_width=8, class_topk=5, max_len=16)
+        a = ctc_beam_search(lp, lens, cfg, n_best=4)
+        b = ctc_beam_search(lp, lens, cfg, n_best=4, graph=univ)
+        np.testing.assert_array_equal(np.asarray(a["tokens"]),
+                                      np.asarray(b["tokens"]))
+        np.testing.assert_allclose(np.asarray(a["scores"]),
+                                   np.asarray(b["scores"]), atol=1e-5)
+        assert bool(np.asarray(b["reached_final"]).all())
+
+    def test_exact_vs_exhaustive(self):
+        """Graph beam == argmax over ALL label sequences of
+        log P_CTC(y) - graph_cost(y) at exhaustive beam width (tiny)."""
+        lg, tabs = self._tables()
+        T, C = 5, 5
+        rng = np.random.default_rng(9)
+        for trial in range(4):
+            lp = rng.standard_normal((T, C)).astype(np.float32) * 2.0
+            lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+            best, besty = -np.inf, None
+            for n in range(0, T + 1):
+                for y in itertools.product(range(1, C), repeat=n):
+                    cost, _ = lg.score(list(y))
+                    if cost == INF:
+                        continue
+                    am = _ctc_logp_bruteforce(lp, y)
+                    s = am - cost
+                    if s > best:
+                        best, besty = s, list(y)
+            out = ctc_beam_search(
+                lp[None], np.array([T], np.int32),
+                BeamSearchConfig(beam_width=64, class_topk=4, max_len=8),
+                graph=tabs)
+            got = np.asarray(out["tokens"])[0, 0][
+                :int(out["token_lens"][0, 0])].tolist()
+            assert got == besty, (trial, got, besty)
+            assert abs(float(out["scores"][0, 0]) - best) < 1e-3
+
+    def test_hypotheses_in_graph_language(self):
+        """Every returned (finite-score, final) hypothesis must be accepted
+        by the graph, and replay through the original LG gives words."""
+        lg, tabs = self._tables()
+        rng = np.random.default_rng(4)
+        lp = rng.standard_normal((4, 12, 5)).astype(np.float32)
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        lens = np.array([12, 9, 6, 3], np.int32)
+        out = ctc_beam_search(
+            lp, lens, BeamSearchConfig(beam_width=8, class_topk=4,
+                                       max_len=16), n_best=4, graph=tabs)
+        toks = np.asarray(out["tokens"])
+        tlens = np.asarray(out["token_lens"])
+        scores = np.asarray(out["scores"])
+        finals = np.asarray(out["reached_final"])
+        words = graph_tokens_to_words(
+            lg, toks.reshape(-1, toks.shape[-1]), tlens.reshape(-1))
+        for i in range(toks.shape[0] * toks.shape[1]):
+            b, k = divmod(i, toks.shape[1])
+            if scores[b, k] < -1e20:
+                continue
+            y = toks[b, k][:tlens[b, k]].tolist()
+            cost, outs = lg.score(y)
+            if finals[b, k]:
+                assert cost < INF
+                assert words[i] == [o - 1 for o in outs]
+
+    def test_agrees_with_host_first_pass_on_clear_posteriors(self):
+        """On near-one-hot posteriors spelling an in-grammar sentence the
+        device graph beam and the host WFST first pass must output the
+        same words."""
+        lg, tabs = self._tables()
+        phones = [1, 2, 1, 3, 2]            # a b c
+        seq = [1, 0, 2, 2, 0, 1, 0, 3, 0, 2, 0, 0]
+        T, C = len(seq), 5
+        lp = np.full((1, T, C), -9.0, np.float32)
+        for t, k in enumerate(seq):
+            lp[0, t, k] = -0.01
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        lens = np.array([T], np.int32)
+        out = ctc_beam_search(
+            lp, lens, BeamSearchConfig(beam_width=8, class_topk=4,
+                                       max_len=16), graph=tabs)
+        toks = np.asarray(out["tokens"])[0, 0][
+            :int(out["token_lens"][0, 0])].tolist()
+        assert toks == phones
+        dev_words = graph_tokens_to_words(lg, out["tokens"][0, :1],
+                                          out["token_lens"][0, :1])[0]
+        fd = wfst_ctc_decode(lg, lp, lens, impl="py")
+        host_words = [int(w) - 1
+                      for w in fd["words"][0][:int(fd["word_lens"][0])]]
+        assert dev_words == host_words == [0, 1, 2]   # "a b c"
+
+    def test_tables_validation(self):
+        fst = WFST(start=0)
+        fst.add_arc(0, 0, 9, 9, 0.0)
+        fst.set_final(0)
+        with pytest.raises(ValueError, match="out of range"):
+            compile_graph_tables(fst, num_classes=5)
+
+
+class TestStreamingCarry:
+    def test_graph_state_resumes(self):
+        """Split decode (graph=) at t=T/2 must equal one-shot decode."""
+        L = lexicon_to_fst(WORD_PRONS)
+        tabs = compile_graph_tables(L, num_classes=5)
+        rng = np.random.default_rng(8)
+        lp = rng.standard_normal((2, 10, 5)).astype(np.float32)
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        lens = np.array([10, 10], np.int32)
+        cfg = BeamSearchConfig(beam_width=8, class_topk=4, max_len=16)
+        ref = ctc_beam_search(lp, lens, cfg, graph=tabs)
+        h1 = ctc_beam_search(lp[:, :5], np.array([5, 5], np.int32), cfg,
+                             graph=tabs, return_state=True)
+        h2 = ctc_beam_search(lp[:, 5:], np.array([5, 5], np.int32), cfg,
+                             graph=tabs, init_state=h1["state"])
+        np.testing.assert_array_equal(np.asarray(ref["tokens"]),
+                                      np.asarray(h2["tokens"]))
+        np.testing.assert_allclose(np.asarray(ref["scores"]),
+                                   np.asarray(h2["scores"]), atol=1e-5)

@@ -16,6 +16,9 @@ from tpuasr.decode.fst_decode import (wfst_ctc_decode,
                                       wfst_ctc_decode_nbest,
                                       wfst_ctc_lattice,
                                       write_lattice_text)
+from tpuasr.decode.graph import (GraphTables, compile_graph_tables, compose,
+                                 determinize, graph_tokens_to_words,
+                                 ngram_to_fst)
 from tpuasr.decode.greedy import greedy_decode
 from tpuasr.decode.lexicon import Lexicon, LexiconDecoder, SymbolTable
 from tpuasr.decode.prefix_beam import (BeamSearchConfig, apply_score_bias,
@@ -42,4 +45,6 @@ __all__ = ["greedy_decode", "ctc_beam_search", "BeamSearchConfig",
            "beam_results", "Lexicon", "LexiconDecoder", "SymbolTable",
            "WFST", "rescore_nbest_fst", "lexicon_to_fst",
            "wfst_ctc_decode", "wfst_ctc_decode_nbest", "wfst_ctc_lattice",
-           "write_lattice_text", "align_confidence", "beam_posterior"]
+           "write_lattice_text", "align_confidence", "beam_posterior",
+           "GraphTables", "compile_graph_tables", "compose", "determinize",
+           "graph_tokens_to_words", "ngram_to_fst"]

@@ -64,6 +64,15 @@ class BeamSearchConfig:
     # LM(prefix) — the grammar "G" of the reference's TLG path, see
     # tpuasr/lm/ngram.py).
     lm_weight: float = 0.0
+    # Weight on the decoding-graph cost when ``graph`` is passed to
+    # ctc_beam_search (graph-constrained search: the device analog of the
+    # reference's latgen walk over TLG — tpuasr/decode/graph.py).
+    graph_weight: float = 1.0
+    # Cap on the graph final cost at ranking time: hypotheses whose graph
+    # state cannot reach a final state are penalized by this (finite)
+    # amount instead of killed — latgen-faster's partial-hypothesis
+    # fallback semantics (every beam non-final => rank by path score).
+    graph_final_cap: float = 1e4
 
 
 def apply_score_bias(log_probs, cfg: "BeamSearchConfig", token_bias=None):
@@ -108,13 +117,17 @@ def beam_init_state(B: int, cfg: BeamSearchConfig) -> dict:
 
 
 def beam_results(state: dict, n_best: int = 1, lm_weight: float = 0.0,
-                 lm_eos=None) -> dict:
+                 lm_eos=None, graph_final=None, graph_weight: float = 1.0,
+                 graph_final_cap: float = 1e4) -> dict:
     """Rank a beam state's hypotheses (the tail of ctc_beam_search).
 
     With shallow fusion, ``scores`` is acoustic + lm_weight * LM(prefix)
     (plus the end-of-sentence term when ``lm_eos`` — a (C+1,) table of
     ln P(</s> | last token), row 0 = empty prefix — is given); ``am_scores``
-    and ``lm_scores`` break it down.
+    and ``lm_scores`` break it down. With a graph (``graph_final`` = (S,)
+    final-cost table), ``scores`` additionally subtracts graph_weight *
+    (path graph cost + final cost, capped at graph_final_cap for
+    non-final states); ``graph_scores`` and ``reached_final`` report it.
     """
     am = _logaddexp(state["p_b"], state["p_nb"])        # (B, K)
     lm = state.get("lm")
@@ -127,18 +140,28 @@ def beam_results(state: dict, n_best: int = 1, lm_weight: float = 0.0,
         else:
             lm = lm + lm_eos[state["last"] + 1]
     total = am + lm_weight * lm
+    gcost = reached = None
+    if graph_final is not None and "gs" in state:
+        fcost = jnp.asarray(graph_final)[state["gs"]]   # (B, K)
+        reached = fcost < graph_final_cap
+        gcost = state["gc"] + jnp.minimum(fcost, graph_final_cap)
+        total = total - graph_weight * gcost
     score, idx = jax.lax.top_k(total, n_best)
     tokens = jnp.take_along_axis(state["prefixes"], idx[:, :, None], axis=1)
     token_lens = jnp.take_along_axis(state["plen"], idx, axis=1)
-    return dict(tokens=tokens, token_lens=token_lens, scores=score,
-                am_scores=jnp.take_along_axis(am, idx, axis=1),
-                lm_scores=jnp.take_along_axis(lm, idx, axis=1))
+    out = dict(tokens=tokens, token_lens=token_lens, scores=score,
+               am_scores=jnp.take_along_axis(am, idx, axis=1),
+               lm_scores=jnp.take_along_axis(lm, idx, axis=1))
+    if gcost is not None:
+        out["graph_scores"] = jnp.take_along_axis(gcost, idx, axis=1)
+        out["reached_final"] = jnp.take_along_axis(reached, idx, axis=1)
+    return out
 
 
 def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
                     n_best: int = 1, init_state: dict = None,
                     return_state: bool = False, lm_bigram=None,
-                    lm_eos=None, lm_trigram=None):
+                    lm_eos=None, lm_trigram=None, graph=None):
     """CTC prefix beam search over a batch.
 
     Args:
@@ -161,6 +184,14 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         T[prev2+1, prev+1, c] (see NGramLM.fusion_tensor3); mutually
         exclusive with lm_bigram. Matches the typical order of the
         reference's Kaldi grammar, entirely on device.
+      graph: optional GraphTables (tpuasr/decode/graph.py) — a
+        determinized decoding graph (TL / LG) that CONSTRAINS the search:
+        each beam carries its graph state; extensions the graph forbids
+        are killed, allowed ones accumulate graph cost (pruning and
+        ranking use acoustic + lm - cfg.graph_weight * graph cost, plus
+        the final cost at ranking — the device analog of the reference's
+        latgen walk over TLG). Graph state/cost are pure functions of the
+        prefix, so the hash-join merge is unaffected.
 
     Returns dict with:
       tokens: (B, n_best, max_len) int32, padded with -1
@@ -188,6 +219,15 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         init = dict(init, lm=jnp.zeros((B, K)))
     if "last2" not in init:
         init = dict(init, last2=jnp.full((B, K), -1, jnp.int32))
+    g_next = g_cost = g_final = None
+    if graph is not None:
+        g_next = jnp.asarray(graph.next_state)          # (S, C) int32
+        g_cost = jnp.asarray(graph.cost)                # (S, C) f32
+        g_final = jnp.asarray(graph.final)              # (S,)
+        if "gs" not in init:
+            init = dict(init,
+                        gs=jnp.full((B, K), graph.start, jnp.int32),
+                        gc=jnp.zeros((B, K), jnp.float32))
 
     def step(state, inp):
         lp_t, t = inp                                   # lp_t: (B, C)
@@ -219,6 +259,15 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         ext_p_nb = base + top_lp[:, None, :]            # (B, K, P)
         # Overflowing the prefix buffer kills the candidate.
         ext_p_nb = jnp.where((plen[:, :, None] >= L), NEG_INF, ext_p_nb)
+        if graph is not None:
+            # Graph transition per extension: (B, K, P) gathers into the
+            # (S, C) next-state/cost tables; forbidden classes are killed.
+            gs, gc = state["gs"], state["gc"]
+            ext_gs = g_next[gs[:, :, None], top_c[:, None, :]]
+            g_step = g_cost[gs[:, :, None], top_c[:, None, :]]
+            ext_p_nb = jnp.where(ext_gs < 0, NEG_INF, ext_p_nb)
+            ext_gc = gc[:, :, None] + jnp.where(ext_gs < 0, 0.0, g_step)
+            ext_gs = jnp.maximum(ext_gs, 0)
         cu = (c + 1).astype(jnp.uint32)
         ext_h1 = h1[:, :, None] * _H1_MUL + cu
         ext_h2 = h2[:, :, None] * _H2_MUL + cu
@@ -257,6 +306,9 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         cand_h1 = jnp.concatenate([h1, ext_h1.reshape(B, K * P)], axis=1)
         cand_h2 = jnp.concatenate([h2, ext_h2.reshape(B, K * P)], axis=1)
         cand_lm = jnp.concatenate([lm, ext_lm.reshape(B, K * P)], axis=1)
+        if graph is not None:
+            cand_gs = jnp.concatenate([gs, ext_gs.reshape(B, K * P)], axis=1)
+            cand_gc = jnp.concatenate([gc, ext_gc.reshape(B, K * P)], axis=1)
         parent = jnp.concatenate(
             [jnp.arange(K)[None].repeat(B, 0),
              (jnp.arange(K)[:, None].repeat(P, 1).reshape(-1))[None]
@@ -267,6 +319,8 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
 
         # ---- prune to top-K by total prob (the only ordering op) ----
         total = _logaddexp(cand_p_b, cand_p_nb) + lm_w * cand_lm
+        if graph is not None:
+            total = total - cfg.graph_weight * cand_gc
         _, top_idx = jax.lax.top_k(total, K)            # (B, K)
         def h(x):
             return jnp.take_along_axis(x, top_idx, axis=1)
@@ -302,12 +356,17 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
             p_nb=fz(new_p_nb, p_nb), lm=fz(new_lm, lm),
             h1=fz(new_h1, h1), h2=fz(new_h2, h2),
         )
+        if graph is not None:
+            new_state["gs"] = fz(h(cand_gs), gs)
+            new_state["gc"] = fz(h(cand_gc), gc)
         return new_state, None
 
     lp_seq = jnp.transpose(log_probs, (1, 0, 2))        # (T, B, C)
     final, _ = jax.lax.scan(step, init, (lp_seq, jnp.arange(T)))
 
-    out = beam_results(final, n_best, lm_weight=lm_w, lm_eos=lm_eos)
+    out = beam_results(final, n_best, lm_weight=lm_w, lm_eos=lm_eos,
+                       graph_final=g_final, graph_weight=cfg.graph_weight,
+                       graph_final_cap=cfg.graph_final_cap)
     if return_state:
         out["state"] = final
     return out
