@@ -150,6 +150,87 @@ def main() -> int:
     except Exception as e:
         rl = {"error": str(e)}
 
+    # ---- graph-constrained serving arm (VERDICT r3 next #1/#2) ----------
+    # The WER-winning decode carries the TLG-style graph constraint; its
+    # speed must be measured AT SERVING SCALE next to the headline, on both
+    # sides of the PCIe boundary: the device graph beam (XLA search, graph
+    # state per beam, tables as jit args) and the host C++ WFST first pass
+    # (the reference's architecture). Representative LG at this class
+    # count: ~200-word lexicon composed with a word bigram.
+    graph_cols = {}
+    try:
+        from tpuasr.decode import (GraphTables, compile_graph_tables,
+                                   compose, ctc_beam_search, lexicon_to_fst,
+                                   ngram_to_fst, wfst_ctc_decode)
+        from tpuasr.lm import train_ngram
+
+        grng = np.random.default_rng(7)
+        prons, seen = [], set()
+        while len(prons) < 200:
+            p = tuple(int(v) for v in
+                      grng.integers(1, NUM_CLASSES,
+                                    size=int(grng.integers(2, 5))))
+            if p not in seen:
+                seen.add(p)
+                prons.append((f"w{len(prons):03d}", p))
+        sents = [[f"w{int(v):03d}" for v in
+                  grng.integers(0, len(prons),
+                                size=int(grng.integers(3, 9)))]
+                 for _ in range(400)]
+        lg = compose(lexicon_to_fst(prons),
+                     ngram_to_fst(train_ngram(sents, order=2),
+                                  {w: i + 1 for i, (w, _) in
+                                   enumerate(prons)}))
+        tabs = compile_graph_tables(lg, NUM_CLASSES, max_states=400_000,
+                                    prune=10.0, quantum=0.1)
+        # All classes visible to the search: the graph itself prunes (an
+        # acoustic top-P would hide legal arcs) — same operating point as
+        # the WER-winning arm in benchmarks/wer_delta.py.
+        gb_cfg = BeamSearchConfig(beam_width=8, class_topk=NUM_CLASSES - 1,
+                                  max_len=256)
+
+        @jax.jit
+        def pipeline_graph(variables, ftabs, nxt, cost, fin, wav, wav_lens):
+            feats, flens = fz._featurize(wav, wav_lens, tables=ftabs)
+            logp, out_lens = model.apply(variables, feats, flens,
+                                         train=False)
+            out = ctc_beam_search(
+                logp, out_lens, gb_cfg,
+                graph=GraphTables(nxt, cost, fin, tabs.start))
+            return out["tokens"], out["token_lens"], out["scores"]
+
+        tab_args = tuple(jnp.asarray(x)
+                         for x in (tabs.next_state, tabs.cost, tabs.final))
+        g_out = pipeline_graph(variables, ftabs, *tab_args, wav_d, lens_d)
+        np.asarray(g_out[0][0, :1])                       # compile + drain
+        n_g = 10 if on_tpu else 2
+        t0 = time.perf_counter()
+        for _ in range(n_g):
+            g_out = pipeline_graph(variables, ftabs, *tab_args, wav_d,
+                                   lens_d)
+        np.asarray(g_out[0][0, :1])
+        g_dt = (time.perf_counter() - t0) / n_g
+        graph_cols["graph_rtf_x"] = round(audio_seconds / g_dt, 2)
+        graph_cols["graph_states"] = tabs.num_states
+
+        # Host C++ WFST first pass over the SAME posteriors (the accurate
+        # arm's cost when it stays on the host — reference architecture).
+        @jax.jit
+        def am_only(variables, ftabs, wav, wav_lens):
+            feats, flens = fz._featurize(wav, wav_lens, tables=ftabs)
+            return model.apply(variables, feats, flens, train=False)
+
+        logp, out_lens = am_only(variables, ftabs, wav_d, lens_d)
+        lp_np = np.asarray(logp, np.float32)
+        ol_np = np.asarray(out_lens, np.int32)
+        t0 = time.perf_counter()
+        wfst_ctc_decode(lg, lp_np, ol_np, beam=12.0, max_active=500)
+        graph_cols["host_fst_rtf_x"] = round(
+            audio_seconds / (time.perf_counter() - t0), 2)
+        graph_cols["host_threads"] = os.cpu_count()
+    except Exception as e:                      # never cost the headline
+        graph_cols["graph_arm_error"] = f"{type(e).__name__}: {e}"[:200]
+
     record = {
         "metric": "decode_rtf_x",
         "value": round(rtf_x, 2),
@@ -167,6 +248,11 @@ def main() -> int:
         # delta -0.06% +/- 0.09% vs f32, WERDELTA_r03.json) or fp32/bf16
         # via --fp32. int8 does not lower on the CPU fallback path.
         "quant": ("int8" if int8 and on_tpu else "none"),
+        # Graph-constrained decode at serving scale (same B): the device
+        # graph beam (XLA search; the WER-winning arm per WERDELTA) and
+        # the host C++ WFST first pass on this machine's cores. WERs for
+        # these arms live in WERDELTA (trained AM); speeds live here.
+        **graph_cols,
     }
     if record["backend"] != "tpu" and not want_cpu:
         record["note"] = (f"TPU probe failed (wedged axon tunnel); single-"

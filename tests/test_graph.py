@@ -109,6 +109,57 @@ class TestDeterminize:
         with pytest.raises(ValueError, match="determinization exceeded"):
             determinize(fst, max_states=1)
 
+    def test_pruned_determinization_non_twin(self):
+        """The classic non-twin machine — two same-input cycles whose
+        weights differ — makes the subset residual gap grow by a constant
+        per symbol, so exact weighted determinization provably diverges.
+        Pruned determinization must (a) terminate (the lagging element is
+        dropped once the gap exceeds ``prune``) and (b) stay exact for
+        strings whose best parse never falls ``prune`` behind — here the
+        cheap cycle's final weight keeps it the winner at every length we
+        check, and at prune=20 nothing is dropped before length 25."""
+        fst = WFST(start=0)
+        fst.add_arc(0, 1, 1, 1, 0.1)
+        fst.add_arc(0, 2, 1, 2, 0.9)
+        fst.add_arc(1, 1, 1, 1, 0.1)
+        fst.add_arc(2, 2, 1, 2, 0.9)
+        fst.set_final(1, 0.0)
+        fst.set_final(2, 3.0)
+        with pytest.raises(ValueError, match="determinization exceeded"):
+            determinize(fst, max_states=500)
+        det = determinize(fst, max_states=500, prune=20.0)
+        for n in range(1, 12):
+            c1, _ = fst.score([1] * n)
+            c2, _ = det.score([1] * n)
+            assert abs(c1 - c2) < 1e-6, (n, c1, c2)
+        assert det.score([])[0] == INF == det.score([2])[0]
+
+    def test_pruned_determinization_homophone_lg_parity(self):
+        """Pruned determinization of an L∘G whose lexicon contains
+        HOMOPHONES (the non-twin family Kaldi adds disambiguation symbols
+        for) must score every accepted string exactly like the original
+        when the in-subset spread stays below the prune band."""
+        prons = [("a", (1, 2)), ("b", (1, 2)), ("c", (3,))]   # a/b homophone
+        sents = [["a", "c"], ["a", "c", "a"], ["c", "b"], ["b", "b", "c"],
+                 ["c", "a", "c"], ["a", "c", "b"]]
+        lg = compose(lexicon_to_fst(prons),
+                     ngram_to_fst(train_ngram(sents, order=2),
+                                  {"a": 1, "b": 2, "c": 3}))
+        det = determinize(lg, max_states=20_000, prune=10.0)
+        rng = np.random.default_rng(13)
+        checked_finite = 0
+        for _ in range(200):
+            n = int(rng.integers(0, 9))
+            x = [int(v) for v in rng.integers(1, 4, size=n)]
+            c1, _ = lg.score(x)
+            c2, _ = det.score(x)
+            if c1 < INF:
+                checked_finite += 1
+                assert abs(c1 - c2) < 1e-6, (x, c1, c2)
+            else:
+                assert c2 == INF, (x, c2)
+        assert checked_finite >= 20     # the check actually exercised paths
+
 
 class TestCompose:
     def test_vs_path_enumeration(self):

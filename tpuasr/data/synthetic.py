@@ -125,6 +125,7 @@ def make_word_corpus(root, num_utts: int = 300, num_words: int = 40,
                      confusable_hz: float = 35.0,
                      freq_jitter_hz: float = 10.0, seed: int = 0,
                      split: str = "train", markov: float = 0.0,
+                     homophones: int = 0,
                      word_prons: list | None = None) -> WordCorpus:
     """Harder word-level synthetic corpus for accuracy harnesses.
 
@@ -137,6 +138,12 @@ def make_word_corpus(root, num_utts: int = 300, num_words: int = 40,
 
     Pass ``word_prons`` (from a previous call's return) to share the SAME
     lexicon between train and eval splits.
+
+    ``homophones``: the last N words REUSE the pronunciations of the first
+    N words (real-language ambiguity the lexicon alone cannot resolve —
+    only grammar context can pick the right word, so a grammar-bearing
+    decode must beat any lexicon-only decode on such a corpus; word
+    sampling is Markov-biased, see ``markov``, so context IS informative).
     """
     from scipy.io import wavfile
 
@@ -157,6 +164,9 @@ def make_word_corpus(root, num_utts: int = 300, num_words: int = 40,
                 continue
             seen.add(pron)
             word_prons.append((f"w{len(word_prons):03d}", pron))
+        for h in range(min(homophones, num_words // 2)):
+            i = len(word_prons) - 1 - h
+            word_prons[i] = (word_prons[i][0], word_prons[h][1])
     W = len(word_prons)
 
     utts = []

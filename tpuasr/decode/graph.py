@@ -193,7 +193,9 @@ def _eps_closure(flat_arcs, items: dict[int, float],
     return items
 
 
-def determinize(fst: WFST, max_states: int = 200_000) -> WFST:
+def determinize(fst: WFST, max_states: int = 200_000,
+                prune: float | None = None,
+                quantum: float = 1e-9) -> WFST:
     """Weighted subset determinization over INPUT labels (tropical).
 
     Output labels are DROPPED (olabel := ilabel): the result is a
@@ -201,6 +203,19 @@ def determinize(fst: WFST, max_states: int = 200_000) -> WFST:
     input string the same min cost as ``fst`` (incl. final weights).
     Raises ``ValueError`` past ``max_states`` (the classic nontermination
     risk of weighted determinization on non-twin machines).
+
+    Non-twin graphs — in ASR practice: L∘G with HOMOPHONES, the exact
+    case Kaldi needs disambiguation symbols for — do not determinize
+    exactly. Pass ``prune`` (cost units) to determinize WITH PRUNING:
+    subset elements more than ``prune`` worse than the subset's best are
+    dropped and residuals are keyed on a ``quantum`` grid, so the key
+    space is finite and termination is GUARANTEED. The result is exact
+    for any string whose best parse stays within ``prune`` of the
+    in-subset best at every prefix (a grammar never recovers ~10 nats, so
+    prune=10 is safe in practice); residual quantization can additionally
+    drift a path's cost by ~quantum per consumed symbol. Use the pruned
+    tables to STEER a search and recover exact scores/words by replaying
+    the winner through the original graph (graph_tokens_to_words).
     """
     flat: dict[int, list] = {
         s: [(a.ilabel, a.weight, a.dst) for a in arcs]
@@ -209,7 +224,10 @@ def determinize(fst: WFST, max_states: int = 200_000) -> WFST:
 
     def norm(items: dict[int, float]):
         wmin = min(items.values())
-        key = tuple(sorted((s, round(r - wmin, 9)) for s, r in items.items()))
+        if prune is not None:
+            items = {s: r for s, r in items.items() if r - wmin <= prune}
+        key = tuple(sorted((s, round((r - wmin) / quantum))
+                           for s, r in items.items()))
         return wmin, key, {s: r - wmin for s, r in items.items()}
 
     # The initial subset keeps RAW residuals (no min-shift): a shift here
@@ -279,13 +297,25 @@ class GraphTables:
 
 
 def compile_graph_tables(fst: WFST, num_classes: int,
-                         max_states: int = 200_000) -> GraphTables:
+                         max_states: int = 200_000,
+                         prune: float | None = None,
+                         quantum: float = 1e-9) -> GraphTables:
     """Determinize ``fst`` over input labels and flatten to dense arrays.
 
     Input labels must lie in ``[1, num_classes)`` (CTC class ids; 0 is
     blank/epsilon and never a graph input).
+
+    ``prune``/``quantum``: forward to :func:`determinize`. REQUIRED in
+    practice for non-twin graphs — L∘G with homophones — where exact
+    weighted determinization does not terminate; a coarse ``quantum``
+    (~0.1) is what actually bounds the subset count there (float-noise
+    residuals otherwise never collide), at ~quantum/2 cost drift per
+    consumed symbol. The tables then STEER the device search; recover
+    exact scores/words by replaying winners through ``fst`` itself
+    (graph_tokens_to_words).
     """
-    det = determinize(fst, max_states=max_states)
+    det = determinize(fst, max_states=max_states, prune=prune,
+                      quantum=quantum)
     S = max([det.start] + list(det.finals)
             + [s for s in det.arcs]
             + [a.dst for arcs in det.arcs.values() for a in arcs]) + 1

@@ -161,7 +161,8 @@ def beam_results(state: dict, n_best: int = 1, lm_weight: float = 0.0,
 def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
                     n_best: int = 1, init_state: dict = None,
                     return_state: bool = False, lm_bigram=None,
-                    lm_eos=None, lm_trigram=None, graph=None):
+                    lm_eos=None, lm_trigram=None, graph=None,
+                    lm_weight=None, graph_weight=None):
     """CTC prefix beam search over a batch.
 
     Args:
@@ -192,6 +193,10 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         the final cost at ranking — the device analog of the reference's
         latgen walk over TLG). Graph state/cost are pure functions of the
         prefix, so the hash-join merge is unaffected.
+      lm_weight / graph_weight: optional overrides of the cfg fields that
+        may be TRACED scalars — weight sweeps then reuse one executable
+        instead of recompiling per value (compiles cost minutes on the
+        axon terminal).
 
     Returns dict with:
       tokens: (B, n_best, max_len) int32, padded with -1
@@ -206,7 +211,8 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
     K, P, L = cfg.beam_width, cfg.class_topk, cfg.max_len
     P = min(P, C - 1)  # blank handled separately
     blank = cfg.blank
-    lm_w = cfg.lm_weight
+    lm_w = cfg.lm_weight if lm_weight is None else lm_weight
+    g_w = cfg.graph_weight if graph_weight is None else graph_weight
     if lm_bigram is not None and lm_trigram is not None:
         raise ValueError("pass lm_bigram OR lm_trigram, not both")
     if lm_bigram is not None:
@@ -320,7 +326,7 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         # ---- prune to top-K by total prob (the only ordering op) ----
         total = _logaddexp(cand_p_b, cand_p_nb) + lm_w * cand_lm
         if graph is not None:
-            total = total - cfg.graph_weight * cand_gc
+            total = total - g_w * cand_gc
         _, top_idx = jax.lax.top_k(total, K)            # (B, K)
         def h(x):
             return jnp.take_along_axis(x, top_idx, axis=1)
@@ -365,7 +371,7 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
     final, _ = jax.lax.scan(step, init, (lp_seq, jnp.arange(T)))
 
     out = beam_results(final, n_best, lm_weight=lm_w, lm_eos=lm_eos,
-                       graph_final=g_final, graph_weight=cfg.graph_weight,
+                       graph_final=g_final, graph_weight=g_w,
                        graph_final_cap=cfg.graph_final_cap)
     if return_state:
         out["state"] = final
