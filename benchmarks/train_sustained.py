@@ -46,7 +46,8 @@ def build(tmp, n_train, n_dev):
     return tr, dv
 
 
-def make_trainer(ckpt_dir, epochs, continue_from=None, bf16=False):
+def make_trainer(ckpt_dir, epochs, continue_from=None, bf16=False,
+                 device_corpus="auto"):
     import jax
 
     from tpuasr.features import FeatureConfig
@@ -60,7 +61,7 @@ def make_trainer(ckpt_dir, epochs, continue_from=None, bf16=False):
                       lr=3e-3, num_epochs=epochs, warmup_steps=40,
                       log_every=10 ** 9, ckpt_dir=ckpt_dir,
                       ckpt_every_steps=10 ** 9, continue_from=continue_from,
-                      bf16_compute=bf16)
+                      bf16_compute=bf16, device_corpus=device_corpus)
     return Trainer(cfg, FeatureConfig(n_mels=40))
 
 
@@ -152,6 +153,9 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute: feats + conv + GRU kernel IO "
                          "(the config3 --sweep operating point)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="disable the HBM-resident corpus (A/B arm: the "
+                         "round-3 host streaming pipeline)")
     args = ap.parse_args()
     resume_at = args.resume_at or max(1, args.epochs // 2)
 
@@ -171,7 +175,8 @@ def main():
 
     # --- uninterrupted run, epoch throughput measured ---
     loader = AudioLoader(tr.manifest, lcfg)
-    trainer = make_trainer(str(tmp / "ckpt"), args.epochs, bf16=args.bf16)
+    trainer = make_trainer(str(tmp / "ckpt"), args.epochs, bf16=args.bf16,
+                           device_corpus=False if args.streaming else "auto")
     state = trainer.init_state(loader.make_batch(loader.batch_plan(0)[0]))
     utt_rates = []
     state, _ = run_epochs(trainer, loader, state, 0, resume_at, utt_rates)
@@ -186,7 +191,8 @@ def main():
     # --- resume from the mid-run checkpoint in a FRESH trainer ---
     from tpuasr.parallel import replicated_sharding
     from tpuasr.train.checkpoints import restore_checkpoint
-    trainer2 = make_trainer(None, args.epochs, bf16=args.bf16)
+    trainer2 = make_trainer(None, args.epochs, bf16=args.bf16,
+                            device_corpus=False if args.streaming else "auto")
     loader2 = AudioLoader(tr.manifest, lcfg)
     state2 = trainer2.init_state(
         loader2.make_batch(loader2.batch_plan(0)[0]))
@@ -218,6 +224,9 @@ def main():
                                  else mesh_ok is not False),
            "mesh_max_rel_dev": (round(mesh_ok, 8)
                                 if isinstance(mesh_ok, float) else None),
+           "input_pipeline": ("streaming" if args.streaming else
+                              ("device_corpus" if (trainer._dc or (None, None))[1]
+                               is not None else "streaming_fallback")),
            "backend": jax.default_backend()}
     line = json.dumps(out)
     print(line)

@@ -66,6 +66,17 @@ class TrainConfig:
     # N+1 overlaps step N instead of sitting on the step's critical path).
     # prefetch: queue depth of the background host thread (0 = synchronous).
     prefetch: int = 2
+    # Device-resident corpus (data/device_corpus.py): when the training
+    # corpus fits the byte budget (and no host-side augmentation / Grain
+    # pipeline is in play), decoded wavs upload ONCE and every batch is a
+    # device-side row gather — the host input pipeline and the per-step
+    # audio transfer disappear from the critical path entirely. Batches
+    # are bit-identical to the streaming path (same deterministic plan),
+    # so resume-exactness and mesh-equality are unaffected. "auto" falls
+    # back to streaming when ineligible; True raises if ineligible;
+    # False streams.
+    device_corpus: bool | str = "auto"
+    device_corpus_bytes: int = 4 << 30
     # use_grain: route batches through GrainAudioPipeline — same batches,
     # plus a checkpointable mid-epoch iterator (grain_workers>0 adds
     # multiprocess workers; keep 0 on single-core hosts).
@@ -141,6 +152,26 @@ class Trainer:
         self.log = logger or init_logger()
         self._compiled = {}
         self._grain = None               # set by fit() when cfg.use_grain
+        self._dc = None                  # (loader id, DeviceCorpus | None)
+
+    def _device_corpus_for(self, loader):
+        """Build (once per loader) the HBM-resident corpus, or None when
+        the loader's config requires the streaming path."""
+        if self._dc is not None and self._dc[0] == id(loader):
+            return self._dc[1]
+        from tpuasr.data.device_corpus import DeviceCorpus, try_build
+        if self.cfg.device_corpus == "auto":
+            dc = try_build(loader, self.mesh,
+                           max_bytes=self.cfg.device_corpus_bytes)
+        else:
+            dc = DeviceCorpus(loader, self.mesh,
+                              max_bytes=self.cfg.device_corpus_bytes)
+        if dc is not None:
+            self.log.info("device-resident corpus: %.0f MiB in HBM, "
+                          "%d buckets", dc.nbytes / 2 ** 20,
+                          len(dc._stores))
+        self._dc = (id(loader), dc)
+        return dc
 
     # ---- state ----
 
@@ -339,6 +370,11 @@ class Trainer:
         (VERDICT r2 item 4). Batch order and contents are identical to the
         synchronous path (same deterministic batch_plan) in every mode.
         """
+        if self._grain is None and self.cfg.device_corpus:
+            dc = self._device_corpus_for(train_loader)
+            if dc is not None:
+                yield from dc.batches(epoch)
+                return
         if self._grain is not None:
             if grain_state is not None:
                 src = self._grain.set_state(grain_state)
