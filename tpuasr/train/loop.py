@@ -50,7 +50,7 @@ class TrainConfig:
     ckpt_every_steps: int = 500
     continue_from: str | None = None
     bf16_compute: bool = False
-    ctc_impl: str = "fb"             # ref | fb | pallas
+    ctc_impl: str = "auto"           # auto | ref | fb | pallas
     fused_featurizer: bool = False   # Pallas fused featurizer kernel
     # Objective: "ctc" (sequence training), "framewise_ce" (per-frame
     # cross-entropy on aligned frame labels — the reference's CapsNet/SSVAE
