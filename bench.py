@@ -183,22 +183,31 @@ def main() -> int:
                                    enumerate(prons)}))
         tabs = compile_graph_tables(lg, NUM_CLASSES, max_states=400_000,
                                     prune=10.0, quantum=0.1)
-        # All classes visible to the search: the graph itself prunes (an
-        # acoustic top-P would hide legal arcs) — same operating point as
-        # the WER-winning arm in benchmarks/wer_delta.py.
-        gb_cfg = BeamSearchConfig(beam_width=8, class_topk=NUM_CLASSES - 1,
-                                  max_len=256)
+        # Graph-aware class pruning (VERDICT r4 next #4): selection is per
+        # beam and masks graph-forbidden classes BEFORE top_k, so class_topk
+        # can stay at the headline's 8 even though the graph alphabet is 63
+        # — identical output wherever state out-degree <= 8, and verified
+        # below against the full-width (class_topk=63) search on this batch
+        # (graph_prune_agree).
+        gb_cfg = BeamSearchConfig(beam_width=8, class_topk=8, max_len=256)
+        gb_cfg_full = BeamSearchConfig(beam_width=8,
+                                       class_topk=NUM_CLASSES - 1,
+                                       max_len=256)
 
-        @jax.jit
-        def pipeline_graph(variables, ftabs, nxt, cost, fin, wav, wav_lens):
-            feats, flens = fz._featurize(wav, wav_lens, tables=ftabs)
-            logp, out_lens = model.apply(variables, feats, flens,
-                                         train=False)
-            out = ctc_beam_search(
-                logp, out_lens, gb_cfg,
-                graph=GraphTables(nxt, cost, fin, tabs.start))
-            return out["tokens"], out["token_lens"], out["scores"]
+        def make_pipeline_graph(cfg):
+            @jax.jit
+            def pipeline_graph(variables, ftabs, nxt, cost, fin, wav,
+                               wav_lens):
+                feats, flens = fz._featurize(wav, wav_lens, tables=ftabs)
+                logp, out_lens = model.apply(variables, feats, flens,
+                                             train=False)
+                out = ctc_beam_search(
+                    logp, out_lens, cfg,
+                    graph=GraphTables(nxt, cost, fin, tabs.start))
+                return out["tokens"], out["token_lens"], out["scores"]
+            return pipeline_graph
 
+        pipeline_graph = make_pipeline_graph(gb_cfg)
         tab_args = tuple(jnp.asarray(x)
                          for x in (tabs.next_state, tabs.cost, tabs.final))
         g_out = pipeline_graph(variables, ftabs, *tab_args, wav_d, lens_d)
@@ -212,6 +221,18 @@ def main() -> int:
         g_dt = (time.perf_counter() - t0) / n_g
         graph_cols["graph_rtf_x"] = round(audio_seconds / g_dt, 2)
         graph_cols["graph_states"] = tabs.num_states
+        graph_cols["graph_class_topk"] = gb_cfg.class_topk
+        # Pruned-vs-full-width agreement gate: same tokens on this batch
+        # (exact wherever out-degree <= P; measured, not assumed).
+        gf_out = make_pipeline_graph(gb_cfg_full)(
+            variables, ftabs, *tab_args, wav_d, lens_d)
+        pr_t, pr_l = np.asarray(g_out[0]), np.asarray(g_out[1])
+        fl_t, fl_l = np.asarray(gf_out[0]), np.asarray(gf_out[1])
+        agree = [
+            (pr_l[b, 0] == fl_l[b, 0]
+             and (pr_t[b, 0, :pr_l[b, 0]] == fl_t[b, 0, :fl_l[b, 0]]).all())
+            for b in range(pr_t.shape[0])]
+        graph_cols["graph_prune_agree"] = round(float(np.mean(agree)), 4)
 
         # Host C++ WFST first pass over the SAME posteriors (the accurate
         # arm's cost when it stays on the host — reference architecture).

@@ -65,8 +65,10 @@ def make_trainer(ckpt_dir, epochs, continue_from=None, bf16=False,
     return Trainer(cfg, FeatureConfig(n_mels=40))
 
 
-def run_epochs(trainer, loader, state, lo, hi, utt_rates):
-    """fit()'s inner loop with per-epoch wall-clock throughput capture."""
+def run_epochs(trainer, loader, state, lo, hi, utt_rates, aw=None):
+    """fit()'s inner loop with per-epoch wall-clock throughput capture.
+    ``aw``: optional ArtifactWriter — flushed after every epoch so a
+    mid-run wedge keeps the epochs already measured."""
     for epoch in range(lo, hi):
         t0 = time.perf_counter()
         n_utts = 0
@@ -78,6 +80,11 @@ def run_epochs(trainer, loader, state, lo, hi, utt_rates):
         # before the clock stops (honest utt/s under async dispatch).
         float(m["loss"])
         utt_rates.append(round(n_utts / (time.perf_counter() - t0), 1))
+        if aw is not None:
+            aw.update(utt_per_sec_per_epoch=list(utt_rates),
+                      value=round(float(np.mean(utt_rates[1:]
+                                                or utt_rates)), 1))
+            aw.flush(stage=f"epoch_{epoch}")
     return state, m
 
 
@@ -159,6 +166,13 @@ def main():
     args = ap.parse_args()
     resume_at = args.resume_at or max(1, args.epochs // 2)
 
+    # Wedge-proofing (VERDICT r4 next #2): bounded TPU probe + CPU pin on
+    # failure before backend init; per-epoch incremental artifact writes;
+    # fresh-process body retry at the bottom of the file.
+    from benchmarks.harness import ArtifactWriter, decide_platform
+    decide_platform()
+    aw = ArtifactWriter(args.out)
+
     import jax
     from tpuasr.data import AudioLoader, LoaderConfig
     from tpuasr.train.checkpoints import save_checkpoint
@@ -178,15 +192,36 @@ def main():
     trainer = make_trainer(str(tmp / "ckpt"), args.epochs, bf16=args.bf16,
                            device_corpus=False if args.streaming else "auto")
     state = trainer.init_state(loader.make_batch(loader.batch_plan(0)[0]))
+    aw.update(metric="sustained_train_utt_per_sec", unit="utt/s/chip",
+              epochs=args.epochs, n_train_utts=args.n_train,
+              batch_size=args.batch_size, bf16=args.bf16,
+              backend=jax.default_backend())
+    aw.flush(stage="init")
     utt_rates = []
-    state, _ = run_epochs(trainer, loader, state, 0, resume_at, utt_rates)
+    state, _ = run_epochs(trainer, loader, state, 0, resume_at, utt_rates,
+                          aw=aw)
     # Mid-run checkpoint at the epoch boundary.
     save_checkpoint(str(tmp / "ckpt"), jax.device_get(state),
                     int(state.step), meta=trainer.ckpt_meta(resume_at))
     state, _ = run_epochs(trainer, loader, state, resume_at, args.epochs,
-                          utt_rates)
+                          utt_rates, aw=aw)
     final_continuous = jax.device_get(state.params)
     dev_m = trainer.evaluate(state, dev_loader)
+
+    # Isolated-step throughput on the SAME executable and batch (no input
+    # pipeline, no epoch boundaries): makes the sustained/isolated ratio
+    # explicit in the artifact (VERDICT r4 next #1b).
+    n_real_i, dbatch_i = next(iter(trainer._epoch_batches(loader, 0)))
+    st_i, m_i = trainer.train_step(state, dbatch_i, trainer.feat_tables)
+    float(m_i["loss"])                       # warm/compile drain
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st_i, m_i = trainer.train_step(st_i, dbatch_i, trainer.feat_tables)
+    float(m_i["loss"])
+    isolated = n_real_i * iters / (time.perf_counter() - t0)
+    aw.update(isolated_utt_per_sec=round(isolated, 1))
+    aw.flush(stage="isolated_step")
 
     # --- resume from the mid-run checkpoint in a FRESH trainer ---
     from tpuasr.parallel import replicated_sharding
@@ -211,12 +246,15 @@ def main():
     mesh_ok = (None if args.skip_mesh_check
                else mesh_equality_subprocess())
 
+    sustained = round(float(np.mean(utt_rates[1:] or utt_rates)), 1)
     out = {"metric": "sustained_train_utt_per_sec",
-           "value": round(float(np.mean(utt_rates[1:] or utt_rates)), 1),
+           "value": sustained,
            "unit": "utt/s/chip",
            "epochs": args.epochs, "n_train_utts": args.n_train,
            "batch_size": args.batch_size, "bf16": args.bf16,
            "utt_per_sec_per_epoch": utt_rates,
+           "isolated_utt_per_sec": round(isolated, 1),
+           "sustained_over_isolated": round(sustained / isolated, 4),
            "final_dev_ter": round(dev_m["ter"], 4),
            "final_dev_loss": round(dev_m["loss"], 4),
            "resume_exact": bool(resume_exact),
@@ -228,14 +266,14 @@ def main():
                               ("device_corpus" if (trainer._dc or (None, None))[1]
                                is not None else "streaming_fallback")),
            "backend": jax.default_backend()}
-    line = json.dumps(out)
-    print(line)
-    if args.out:
-        Path(args.out).write_text(line + "\n")
+    aw.update(**out)
+    print(aw.finish())
     if not resume_exact or mesh_ok is False:
         return 1
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    from benchmarks.harness import run_with_body_retry
+    raise SystemExit(run_with_body_retry(main, __file__,
+                                         "TPUASR_TRAIN_REEXEC"))

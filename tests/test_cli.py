@@ -199,3 +199,47 @@ def test_cli_train_predict_test(tmp_path):
     arc_lines = [l for l in lat_text.splitlines()
                  if len(l.split()) == 4 and "," in l]
     assert arc_lines  # src dst word graph,acoustic, arcs present
+
+    # ---- Device graph decode (the TPU-native latgen surface,
+    # VERDICT r4 next #3): the graph constrains the ON-DEVICE beam ----
+    # Route 1: prebuilt --fst (binary OpenFst over unit ilabels).
+    out = run_cli("predict.py", "deepspeech_ctc", wav,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt",
+                  "--fst", tl_path, "--graph-decode",
+                  "--fst-osyms", osyms_path)
+    line = [l for l in out.splitlines() if str(wav) in l][0]
+    hyp_words = line.split("\t", 1)[1].split()
+    assert all(w in vocab for w in hyp_words)  # graph-constrained output
+    # Route 2: in-repo mkgraph — L from --lexicon/--words composed with a
+    # word-level ARPA --lm into LG (tpuasr/decode/graph.py).
+    units_list = (corpus.root / "units.txt").read_text().splitlines()
+    lex_path = tmp_path / "lexicon.txt"
+    lex_path.write_text("".join(
+        f"{w} {' '.join(units_list[p] for p in pron)}\n"
+        for w, pron in word_prons))
+    words_path = tmp_path / "words.txt"
+    SymbolTable({w: i for i, (w, _) in enumerate(word_prons)}
+                ).save(words_path)
+    from tpuasr.lm import train_ngram
+    warpa = tmp_path / "words.arpa"
+    train_ngram([["wA", "wB"], ["wB", "wC"], ["wD", "wA"], ["wC", "wA"]],
+                order=2).save_arpa(warpa)
+    out = run_cli("predict.py", "deepspeech_ctc", wav,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt",
+                  "--lexicon", lex_path, "--words", words_path,
+                  "--lm", warpa, "--graph-decode", "--nbest", 2)
+    hyp_lines = [l for l in out.splitlines() if str(wav) in l]
+    assert hyp_lines and hyp_lines[0].split("\t")[1].startswith("[0]")
+    for l in hyp_lines:
+        assert all(w in vocab for w in l.split("\t", 2)[-1].split())
+    # test.py --graph-decode: word-level WER over the manifest.
+    out = run_cli("test.py", "deepspeech_ctc",
+                  "--manifest", corpus.manifest,
+                  "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt",
+                  "--batch-size", 4, "--max-label-len", 4,
+                  "--fst", tl_path, "--fst-osyms", osyms_path,
+                  "--graph-decode")
+    assert "word-error-rate" in out and "final-reached" in out

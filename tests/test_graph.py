@@ -401,6 +401,57 @@ class TestGraphBeam:
                       for w in fd["words"][0][:int(fd["word_lens"][0])]]
         assert dev_words == host_words == [0, 1, 2]   # "a b c"
 
+    def test_pruned_class_topk_matches_full_width(self):
+        """Graph-aware per-beam class pruning (VERDICT r4 next #4): with
+        class_topk >= max graph out-degree the pruned search must equal
+        the full-width (class_topk = C-1) search exactly — the selection
+        only masks classes the graph forbids, which the full-width search
+        kills anyway."""
+        lg, tabs = self._tables()
+        # Every state of these tables has out-degree <= 3 (phone alphabet
+        # {1,2,3} after the lexicon); assert that so the premise holds.
+        max_deg = int((tabs.next_state >= 0).sum(axis=1).max())
+        assert max_deg <= 3
+        rng = np.random.default_rng(12)
+        lp = rng.standard_normal((4, 14, 5)).astype(np.float32)
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        lens = np.array([14, 11, 8, 5], np.int32)
+        full = ctc_beam_search(
+            lp, lens, BeamSearchConfig(beam_width=8, class_topk=4,
+                                       max_len=16), n_best=4, graph=tabs)
+        pruned = ctc_beam_search(
+            lp, lens, BeamSearchConfig(beam_width=8, class_topk=max_deg,
+                                       max_len=16), n_best=4, graph=tabs)
+        np.testing.assert_array_equal(np.asarray(full["tokens"]),
+                                      np.asarray(pruned["tokens"]))
+        np.testing.assert_allclose(np.asarray(full["scores"]),
+                                   np.asarray(pruned["scores"]), atol=1e-5)
+
+    def test_pruned_selection_keeps_legal_classes(self):
+        """With a tiny class_topk, acoustically-loud but graph-forbidden
+        classes must NOT crowd legal ones out of the per-beam top-P: the
+        graph-aware selection masks them before top_k, so the search still
+        finds the in-grammar sentence."""
+        lg, tabs = self._tables()
+        phones = [1, 2, 1, 3, 2]            # "a b c"
+        seq = [1, 0, 2, 2, 0, 1, 0, 3, 0, 2, 0, 0]
+        T, C = len(seq), 5
+        lp = np.full((1, T, C), -5.0, np.float32)
+        for t, k in enumerate(seq):
+            lp[0, t, k] = -0.05
+            # A forbidden-but-loud competitor every frame: class 4 is
+            # almost as strong as the true phone but "d"=(3,1,2) paths
+            # make 4 illegal in most graph states reached here.
+            lp[0, t, 4] = -0.4
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        lens = np.array([T], np.int32)
+        out = ctc_beam_search(
+            lp, lens, BeamSearchConfig(beam_width=8, class_topk=2,
+                                       max_len=16), graph=tabs)
+        toks = np.asarray(out["tokens"])[0, 0][
+            :int(out["token_lens"][0, 0])].tolist()
+        assert toks == phones
+
     def test_tables_validation(self):
         fst = WFST(start=0)
         fst.add_arc(0, 0, 9, 9, 0.0)

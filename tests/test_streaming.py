@@ -121,6 +121,91 @@ def test_streaming_fused_lm_matches_offline(setup, chunk):
     assert sr.tokens == ref_tokens
 
 
+def _toy_graph_tables(num_classes=6):
+    """Small LG over classes 1..5 (homophone-free) for streaming tests."""
+    from tpuasr.decode import (compile_graph_tables, compose,
+                               lexicon_to_fst, ngram_to_fst)
+    from tpuasr.lm import train_ngram
+    prons = [("a", (1, 2)), ("b", (3,)), ("c", (4, 5)), ("d", (2, 1))]
+    lm = train_ngram([["a", "b"], ["b", "c", "a"], ["d", "a"],
+                      ["c", "d"]], order=2)
+    lg = compose(lexicon_to_fst(prons),
+                 ngram_to_fst(lm, {w: i + 1
+                                   for i, (w, _) in enumerate(prons)}))
+    return compile_graph_tables(lg, num_classes)
+
+
+@pytest.mark.parametrize("chunk", [
+    1777, pytest.param(24000, marks=pytest.mark.slow)])
+def test_streaming_graph_matches_offline(setup, chunk):
+    """Chunked graph-constrained beam == one-shot graph beam on the full
+    logp: the per-beam graph state/cost ride the resumable carry across
+    chunk boundaries (the streaming latgen analog; VERDICT r4 next #3)."""
+    from tpuasr.decode import BeamSearchConfig, ctc_beam_search
+    fc, model, variables, wav, feats, flens = setup
+    tabs = _toy_graph_tables()
+    logp, out_lens = model.apply(variables, feats, flens, train=False)
+    cfg = BeamSearchConfig(beam_width=8, class_topk=5, graph_weight=0.8)
+    ref = ctc_beam_search(logp, out_lens, cfg, graph=tabs)
+    n = int(ref["token_lens"][0, 0])
+    ref_tokens = np.asarray(ref["tokens"])[0, 0, :n].tolist()
+
+    sr = StreamingRecognizer(variables, fc, decode="beam", beam_cfg=cfg,
+                             graph=tabs)
+    for s in range(0, len(wav), chunk):
+        sr.feed(wav[s:s + chunk])
+    sr.flush()
+    assert sr.tokens == ref_tokens
+
+
+def test_streaming_graph_requires_beam(setup):
+    fc, model, variables, *_ = setup
+    with pytest.raises(ValueError, match="beam"):
+        StreamingRecognizer(variables, fc, graph=_toy_graph_tables())
+
+
+def test_batched_fused_graph_matches_solo(setup):
+    """Regular lockstep graph-beam ticks take the fused one-program path
+    (graph tables threaded as jit arguments); hypotheses must equal solo,
+    including after a mid-stream re-attach (graph state reset to start)."""
+    from tpuasr.decode import BeamSearchConfig
+    from tpuasr.serve.streaming import BatchedStreamingRecognizer
+    fc, model, variables, wav, feats, flens = setup
+    rng = np.random.default_rng(13)
+    wavs = [wav,
+            np.asarray(0.4 * np.sin(2 * np.pi * 900 * np.arange(len(wav))
+                                    / 8000)
+                       + 0.1 * rng.standard_normal(len(wav)), np.float32)]
+    tabs = _toy_graph_tables()
+    cfg = BeamSearchConfig(beam_width=4, class_topk=4, graph_weight=0.8)
+
+    solos = []
+    for w in wavs:
+        sr = StreamingRecognizer(variables, fc, decode="beam",
+                                 beam_cfg=cfg, graph=tabs)
+        for s in range(0, len(w), 1600):
+            sr.feed(w[s:s + 1600])
+        sr.flush()
+        solos.append(list(sr.tokens))
+
+    bat = BatchedStreamingRecognizer(variables, fc, n_streams=2,
+                                     decode="beam", beam_cfg=cfg,
+                                     graph=tabs)
+    for s in range(0, len(wav), 1600):
+        bat.feed({i: wavs[i][s:s + 1600] for i in range(2)})
+    assert bat._fstate is not None      # fused path ran
+    for i in range(2):
+        bat.flush(i)
+    assert bat.tokens == solos, (bat.tokens, solos)
+    # Mid-stream re-attach: slot 0 restarts; its graph state must reset to
+    # the start state and the restarted stream must match a fresh solo.
+    bat.attach(0)
+    for s in range(0, len(wavs[0]), 1600):
+        bat.feed({0: wavs[0][s:s + 1600]})
+    toks0 = bat.flush(0)
+    assert toks0 == solos[0]
+
+
 @pytest.mark.slow
 def test_batched_streaming_matches_solo(setup):
     """3 concurrent slots, different audio, == per-slot solo recognizers."""

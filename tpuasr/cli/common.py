@@ -99,7 +99,103 @@ def add_lm_flags(p: argparse.ArgumentParser):
                         "every utterance to PATH as a Kaldi-style text "
                         "archive (utt header, 'src dst word graph,acoustic,'"
                         " arcs, final-state lines)")
+    gg = p.add_argument_group(
+        "device graph decode (the TPU-native latgen: the decoding graph "
+        "constrains the ON-DEVICE beam search itself — no host round trip; "
+        "tpuasr/decode/graph.py)")
+    gg.add_argument("--graph-decode", action="store_true",
+                    help="graph-constrained decode ON DEVICE: compile the "
+                         "graph to dense (S, C) tables and run the device "
+                         "beam search under its constraint (words recovered "
+                         "by min-cost replay through the original graph). "
+                         "Graph source: --fst (a prebuilt L/LG/TLG over "
+                         "unit ilabels), or built in-repo from --lexicon + "
+                         "--words + --units, composed with a WORD-level "
+                         "ARPA --lm when given (the mkgraph analog). "
+                         "Replaces --beam/--fst-decode")
+    gg.add_argument("--graph-weight", type=float, default=1.0,
+                    help="weight on graph costs vs acoustics during the "
+                         "search (like --acoustic-scale, inverted)")
+    gg.add_argument("--graph-topk", type=int, default=8,
+                    help="classes considered per step, selected PER BEAM "
+                         "among graph-legal classes (graph-aware pruning); "
+                         "exact vs a full-width search wherever graph "
+                         "state out-degree <= this")
+    gg.add_argument("--graph-prune", type=float, default=10.0,
+                    help="pruned-determinization beam in cost units: subset "
+                         "elements worse than this vs the subset best are "
+                         "dropped, which GUARANTEES termination on non-twin "
+                         "graphs (L*G with homophones — the case Kaldi "
+                         "needs disambiguation symbols for). Exact for any "
+                         "string whose best parse stays within this margin "
+                         "at every prefix. <= 0 disables pruning (exact "
+                         "determinization; may exhaust --graph-max-states "
+                         "on homophone graphs)")
+    gg.add_argument("--graph-quantum", type=float, default=0.1,
+                    help="residual quantization grid for pruned "
+                         "determinization: coarser = fewer states, at up to "
+                         "quantum/2 cost drift per consumed symbol (drift "
+                         "only STEERS the search; output words/scores come "
+                         "from exact replay through the original graph)")
+    gg.add_argument("--graph-max-states", type=int, default=400_000,
+                    help="abort graph compilation past this many "
+                         "determinized states")
     return p
+
+
+def build_decode_graph(args, num_classes: int, units: list[str]):
+    """Build the --graph-decode tables: (GraphTables, original WFST for
+    word replay, word-name fn, olabel->word-id offset).
+
+    Two sources (SURVEY.md section 3.2 latgen path):
+      * ``--fst``: a prebuilt graph over unit ilabels (Kaldi mkgraph
+        output or fstcompile text); word names via --fst-osyms.
+      * in-repo mkgraph: L from --lexicon/--words/--units
+        (olabels = words.txt id + 1), optionally composed with a
+        WORD-level ARPA --lm into LG (tpuasr/decode/graph.py).
+    """
+    from tpuasr.decode import (compile_graph_tables, compose,
+                               lexicon_to_fst, ngram_to_fst)
+    if getattr(args, "fst", None):
+        fst, osyms = load_fst(args)
+        name_fn = osyms.sym if osyms is not None else str
+        offset = 0
+    else:
+        if not (args.lexicon and args.words and units):
+            raise SystemExit(
+                "--graph-decode needs a graph: pass --fst, or build one "
+                "in-repo with --lexicon + --words + --units "
+                "(+ a word-level --lm for a grammar-bearing LG)")
+        from tpuasr.decode.lexicon import Lexicon, SymbolTable
+        words = SymbolTable.load(args.words)
+        phones = SymbolTable.from_list(units)
+        lex = Lexicon.load(args.lexicon, words, phones)
+        # olabels = word id + 1: stable across multiple prons per word and
+        # aligned with ngram_to_fst's sym2label space.
+        fst = lexicon_to_fst([(wid, pron) for wid, pron in lex.prons],
+                             olabels=[wid + 1 for wid, _ in lex.prons])
+        lm = load_lm(args)
+        if lm is not None:
+            wsym2label = {words.sym(wid): wid + 1
+                          for wid, _ in lex.prons}
+            fst = compose(fst, ngram_to_fst(lm, wsym2label))
+        name_fn = words.sym
+        offset = -1
+    prune = args.graph_prune if args.graph_prune > 0 else None
+    try:
+        tabs = compile_graph_tables(fst, num_classes,
+                                    max_states=args.graph_max_states,
+                                    prune=prune,
+                                    quantum=args.graph_quantum)
+    except ValueError as e:
+        raise SystemExit(
+            f"graph compilation failed: {e}\n"
+            "Weighted determinization can blow up on non-twin graphs "
+            "(L*G with homophones). Try --graph-prune 10 (on by default), "
+            "a coarser --graph-quantum, a larger --graph-max-states, or "
+            "decode this graph on the host first pass (--fst-decode)."
+        ) from e
+    return tabs, fst, name_fn, offset
 
 
 def load_fst(args):

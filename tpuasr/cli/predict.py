@@ -126,6 +126,56 @@ def main(argv=None) -> int:
         items = [(k, lp_np[i, :ol_np[i]]) for i, k in enumerate(keys)]
         ark, scp = write_ark_scp(args.dump_loglikes, items)
         print(f"# wrote {len(items)} loglike matrices to {ark} ({scp})")
+    if args.graph_decode:
+        # Device graph-constrained decode (the TPU-native latgen,
+        # SURVEY.md 3.2: in the reference, the graph-driven search WAS the
+        # predict path): the compiled graph rides the on-device beam
+        # search; posteriors never cross the PCIe boundary. The host C++
+        # first pass remains available as --fst-decode.
+        if args.beam or args.fst_decode:
+            raise SystemExit("--graph-decode replaces --beam/--fst-decode")
+        from tpuasr.cli.common import build_decode_graph
+        from tpuasr.decode import (GraphTables, ctc_beam_search,
+                                   graph_tokens_to_words)
+        tabs, gfst, name_fn, offset = build_decode_graph(
+            args, num_classes, units)
+        n_best = max(1, args.nbest)
+        gb_cfg = BeamSearchConfig(
+            beam_width=max(args.beam_width, n_best),
+            class_topk=args.graph_topk, max_len=int(logp.shape[1]),
+            graph_weight=args.graph_weight)
+
+        @jax.jit
+        def graph_search(lp, ol, nxt, cost, fin):
+            # Tables ride as jit ARGUMENTS (axon pathology: captured
+            # multi-MB device constants degrade dispatch process-wide).
+            return ctc_beam_search(
+                lp, ol, gb_cfg, n_best=n_best,
+                graph=GraphTables(nxt, cost, fin, tabs.start))
+
+        out = graph_search(logp, out_lens, jnp.asarray(tabs.next_state),
+                           jnp.asarray(tabs.cost), jnp.asarray(tabs.final))
+        toks = np.asarray(out["tokens"])
+        tok_lens = np.asarray(out["token_lens"])
+        scores = np.asarray(out["scores"])
+        reached = np.asarray(out["reached_final"])
+        # Words by min-cost replay through the ORIGINAL graph — the device
+        # analog of latgen's olabel output.
+        wordseqs = graph_tokens_to_words(gfst, toks, tok_lens,
+                                         offset=offset)
+        for i, path in enumerate(args.wavs):
+            for n in range(n_best):
+                text = " ".join(name_fn(w)
+                                for w in wordseqs[i * n_best + n])
+                if n_best > 1:
+                    print(f"{path}\t[{n}] {scores[i, n]:.2f}\t{text}")
+                else:
+                    print(f"{path}\t{text}")
+            if not bool(reached[i, 0]):
+                print("# graph: no final state reached "
+                      "(partial hypothesis)")
+        return 0
+
     if args.fst_decode:
         # First-pass decode over the graph (the reference's latgen path:
         # a user-supplied TLG.fst drives the search; SURVEY.md 3.4).

@@ -59,25 +59,43 @@ def main(argv=None) -> int:
         raise SystemExit(f"sample rate {sr} != {feat_cfg.sample_rate}")
     chunk = max(1, int(sr * args.chunk_ms / 1000.0))
 
-    lm = load_lm(args)
-    if args.beam or lm is not None:
-        from tpuasr.cli.common import lm_symbols
+    gfst = gname_fn = None
+    if args.graph_decode:
+        # Streaming graph-constrained decode: the graph rides the
+        # resumable beam search, its per-beam state part of the
+        # chunk-to-chunk carry (tpuasr/serve/streaming.py graph=).
+        from tpuasr.cli.common import build_decode_graph
         from tpuasr.decode import BeamSearchConfig
         num_classes = meta.get("num_classes") or len(units)
+        tabs, gfst, gname_fn, goffset = build_decode_graph(
+            args, num_classes, units)
         cfg = BeamSearchConfig(beam_width=args.beam_width,
-                               lm_weight=args.lm_weight if lm else 0.0)
-        kw = {}
-        if lm is not None:
-            syms = lm_symbols(units, num_classes)
-            kw = dict(lm_bigram=lm.fusion_matrix(syms),
-                      lm_eos=lm.eos_vector(syms))
+                               class_topk=args.graph_topk,
+                               graph_weight=args.graph_weight)
         rec = StreamingRecognizer(variables, feat_cfg, decode="beam",
-                                  beam_cfg=cfg, keep_logp=args.timestamps,
-                                  **kw)
+                                  beam_cfg=cfg, graph=tabs,
+                                  keep_logp=args.timestamps)
         beam_mode = True
     else:
-        rec = StreamingRecognizer(variables, feat_cfg)
-        beam_mode = False
+        lm = load_lm(args)
+        if args.beam or lm is not None:
+            from tpuasr.cli.common import lm_symbols
+            from tpuasr.decode import BeamSearchConfig
+            num_classes = meta.get("num_classes") or len(units)
+            cfg = BeamSearchConfig(beam_width=args.beam_width,
+                                   lm_weight=args.lm_weight if lm else 0.0)
+            kw = {}
+            if lm is not None:
+                syms = lm_symbols(units, num_classes)
+                kw = dict(lm_bigram=lm.fusion_matrix(syms),
+                          lm_eos=lm.eos_vector(syms))
+            rec = StreamingRecognizer(variables, feat_cfg, decode="beam",
+                                      beam_cfg=cfg,
+                                      keep_logp=args.timestamps, **kw)
+            beam_mode = True
+        else:
+            rec = StreamingRecognizer(variables, feat_cfg)
+            beam_mode = False
 
     def fmt(toks, frames):
         if not args.timestamps or beam_mode:
@@ -102,6 +120,17 @@ def main(argv=None) -> int:
         frames = rec.token_frames[n_emitted:]
         print(f"[  final] {fmt(toks, frames)}")
     print(f"# transcript: {tokens_to_text(rec.tokens, units)}")
+    if gfst is not None:
+        # Word recovery by min-cost replay of the final hypothesis through
+        # the original graph (the latgen olabel analog).
+        import math as _math
+        cost, ols = gfst.score([int(t) for t in rec.tokens])
+        if _math.isinf(cost):
+            print("# words: (hypothesis has no complete parse in the "
+                  "graph)")
+        else:
+            print("# words: "
+                  + " ".join(gname_fn(int(o) + goffset) for o in ols))
     if args.timestamps and beam_mode and rec.tokens:
         # Forced-align the final hypothesis over the full AM output.
         import jax

@@ -96,14 +96,38 @@ def main(argv=None) -> int:
         feats, flens = fz._featurize(wav, wav_lens, tables=tables)
         return model.apply(variables, feats, flens, train=False)
 
+    graph_search = None
+    if args.graph_decode:
+        # Device graph-constrained decode (the TPU-native latgen path);
+        # see cli/predict.py. Words by replay through the original graph.
+        if args.beam or args.fst_decode:
+            raise SystemExit("--graph-decode replaces --beam/--fst-decode")
+        from tpuasr.cli.common import build_decode_graph
+        from tpuasr.decode import (GraphTables, ctc_beam_search,
+                                   graph_tokens_to_words)
+        tabs, gfst, gname_fn, goffset = build_decode_graph(
+            args, num_classes, units)
+        gtab_args = (jnp.asarray(tabs.next_state), jnp.asarray(tabs.cost),
+                     jnp.asarray(tabs.final))
+
+        @jax.jit
+        def graph_search(lp, ol, nxt, cost, fin):
+            gb_cfg = BeamSearchConfig(
+                beam_width=args.beam_width, class_topk=args.graph_topk,
+                max_len=int(lp.shape[1]), graph_weight=args.graph_weight)
+            return ctc_beam_search(
+                lp, ol, gb_cfg,
+                graph=GraphTables(nxt, cost, fin, tabs.start))
+
     lm = load_lm(args)
-    if lm is not None and not args.beam:
+    if lm is not None and not args.beam and not args.graph_decode:
         raise SystemExit("--lm requires --beam (the LM applies to beam "
-                         "hypotheses)")
+                         "hypotheses) or --graph-decode (composed into LG)")
     from tpuasr.cli.common import load_fst
-    fst, _fst_osyms = load_fst(args)
+    fst, _fst_osyms = (None, None) if args.graph_decode \
+        else load_fst(args)
     if args.fst_decode:
-        if fst is None:
+        if not args.fst:
             raise SystemExit("--fst-decode requires --fst")
         if args.beam or lm is not None:
             raise SystemExit("--fst-decode is a first-pass graph decode; "
@@ -168,6 +192,20 @@ def main(argv=None) -> int:
                 if batch["real"][j]:
                     loglikes.append((batch["ids"][j],
                                      lp_np[j, :ol_np[j]]))
+        if graph_search is not None:
+            out = graph_search(logp, out_lens, *gtab_args)
+            toks_g = np.asarray(out["tokens"])[:, 0]
+            lens_g = np.asarray(out["token_lens"])[:, 0]
+            reach_g = np.asarray(out["reached_final"])[:, 0]
+            wordseqs = graph_tokens_to_words(gfst, toks_g, lens_g,
+                                             offset=goffset)
+            for j in range(len(batch["real"])):
+                if not batch["real"][j]:
+                    continue
+                n_final += int(bool(reach_g[j]))
+                wrefs.append(utt_text.get(batch["ids"][j], "").split())
+                whyps.append([gname_fn(w) for w in wordseqs[j]])
+            continue
         if args.fst_decode:
             # First-pass decode over the graph (the latgen path): word
             # hypotheses come straight off the WFST's output labels.
@@ -251,7 +289,7 @@ def main(argv=None) -> int:
         write_manifest(args.write_segments, utts)
         print(f"# wrote manifest with {len(segments)} aligned segment "
               f"lists to {args.write_segments}")
-    if args.fst_decode:
+    if args.fst_decode or graph_search is not None:
         # Graph decode emits words, not unit tokens: word-level WER only.
         print(f"utterances: {len(wrefs)}  "
               f"word-error-rate: {wer(wrefs, whyps):.4f}  "

@@ -470,19 +470,26 @@ def rescore_nbest_fst(fst: WFST, tokens: np.ndarray, token_lens: np.ndarray,
     return out, olabels
 
 
-def lexicon_to_fst(word_prons, word_score: float = 0.0) -> WFST:
+def lexicon_to_fst(word_prons, word_score: float = 0.0,
+                   olabels=None) -> WFST:
     """Build a closure-of-words L transducer from [(word_name_or_id, pron)]
     pairs: phones in, word (1-based index) out — the tiny hand-built "TL"
-    used by tests and a template for users assembling graphs in code."""
+    used by tests and a template for users assembling graphs in code.
+
+    olabels: optional per-entry output labels overriding the 1-based entry
+    index — pass word_id + 1 when entries are alternative prons of the
+    same word, or when downstream composition (ngram_to_fst's sym2label)
+    keys arcs by an external words.txt id space."""
     fst = WFST(start=0)
     fst.set_final(0, 0.0)
     nxt = 1
     for wid, (_, pron) in enumerate(word_prons):
+        out_label = olabels[wid] if olabels is not None else wid + 1
         src = 0
         for i, p in enumerate(pron):
             last = i == len(pron) - 1
             dst = 0 if last else nxt
-            fst.add_arc(src, dst, int(p), wid + 1 if last else 0,
+            fst.add_arc(src, dst, int(p), out_label if last else 0,
                         word_score if last else 0.0)
             if not last:
                 nxt += 1

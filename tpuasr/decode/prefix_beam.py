@@ -244,11 +244,36 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         last2 = state["last2"]
 
         lp_blank = lp_t[:, blank]                       # (B,)
-        # Top-P non-blank classes this frame.
         lp_nb_all = lp_t.at[:, blank].set(NEG_INF)
-        top_lp, top_c = jax.lax.top_k(lp_nb_all, P)     # (B, P)
 
         p_tot = _logaddexp(p_b, p_nb)                   # (B, K)
+
+        # Class selection: top-P per step. Without a graph the candidate
+        # set is the same for every beam, so one batch-level top_k
+        # broadcast over K suffices. With a graph, selection is PER BEAM
+        # and GRAPH-AWARE (VERDICT r4 next #4): classes the beam's graph
+        # state forbids are masked BEFORE top_k (a forbidden class in the
+        # top-P would crowd out a legal one), and legal classes rank by
+        # acoustic + weighted graph step cost — the same quantity the
+        # beam prune uses. class_topk can then stay ~8 even when the
+        # graph's alphabet is large (bench: 63 -> 8 with identical output
+        # wherever state out-degree <= P; a 64x smaller hash-join tensor).
+        if graph is not None:
+            gs, gc = state["gs"], state["gc"]
+            nxt_rows = g_next[gs]                       # (B, K, C)
+            cost_rows = g_cost[gs]                      # (B, K, C)
+            allowed = nxt_rows >= 0
+            sel = jnp.where(allowed,
+                            lp_nb_all[:, None, :] - g_w * cost_rows,
+                            NEG_INF)
+            _, top_c = jax.lax.top_k(sel, P)            # (B, K, P)
+            top_lp = jnp.take_along_axis(
+                jnp.broadcast_to(lp_nb_all[:, None, :], (B, K, C)),
+                top_c, axis=2)
+        else:
+            top_lp_b, top_c_b = jax.lax.top_k(lp_nb_all, P)   # (B, P)
+            top_c = jnp.broadcast_to(top_c_b[:, None, :], (B, K, P))
+            top_lp = jnp.broadcast_to(top_lp_b[:, None, :], (B, K, P))
 
         # ---- stay candidates (K): same prefix ----
         stay_p_b = p_tot + lp_blank[:, None]
@@ -259,22 +284,21 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         stay_p_nb = p_nb + lp_last
 
         # ---- extend candidates (K, P): append c ----
-        c = top_c[:, None, :]                           # (B, 1, P)
-        is_rep = c == last[:, :, None]                  # (B, K, P)
+        is_rep = top_c == last[:, :, None]              # (B, K, P)
         base = jnp.where(is_rep, p_b[:, :, None], p_tot[:, :, None])
-        ext_p_nb = base + top_lp[:, None, :]            # (B, K, P)
+        ext_p_nb = base + top_lp                        # (B, K, P)
         # Overflowing the prefix buffer kills the candidate.
         ext_p_nb = jnp.where((plen[:, :, None] >= L), NEG_INF, ext_p_nb)
         if graph is not None:
             # Graph transition per extension: (B, K, P) gathers into the
-            # (S, C) next-state/cost tables; forbidden classes are killed.
-            gs, gc = state["gs"], state["gc"]
-            ext_gs = g_next[gs[:, :, None], top_c[:, None, :]]
-            g_step = g_cost[gs[:, :, None], top_c[:, None, :]]
+            # selected rows; forbidden classes (possible when a state has
+            # fewer than P legal arcs) are killed.
+            ext_gs = jnp.take_along_axis(nxt_rows, top_c, axis=2)
+            g_step = jnp.take_along_axis(cost_rows, top_c, axis=2)
             ext_p_nb = jnp.where(ext_gs < 0, NEG_INF, ext_p_nb)
             ext_gc = gc[:, :, None] + jnp.where(ext_gs < 0, 0.0, g_step)
             ext_gs = jnp.maximum(ext_gs, 0)
-        cu = (c + 1).astype(jnp.uint32)
+        cu = (top_c + 1).astype(jnp.uint32)
         ext_h1 = h1[:, :, None] * _H1_MUL + cu
         ext_h2 = h2[:, :, None] * _H2_MUL + cu
         if lm_bigram is not None or lm_trigram is not None:
@@ -283,9 +307,8 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
                 lm_rows = lm_trigram[last2 + 1, last + 1]   # (B, K, C)
             else:
                 lm_rows = lm_bigram[last + 1]               # (B, K, C)
-            lm_step = jnp.take_along_axis(
-                lm_rows, jnp.broadcast_to(top_c[:, None, :], (B, K, P)),
-                axis=2)                                 # (B, K, P)
+            lm_step = jnp.take_along_axis(lm_rows, top_c,
+                                          axis=2)      # (B, K, P)
             ext_lm = lm[:, :, None] + lm_step
         else:
             ext_lm = jnp.broadcast_to(lm[:, :, None], (B, K, P))
@@ -321,7 +344,7 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
              .repeat(B, 0)], axis=1)                    # (B, N)
         ext_char = jnp.concatenate(
             [jnp.full((B, K), -1, jnp.int32),
-             top_c[:, None, :].repeat(K, 1).reshape(B, K * P)], axis=1)
+             top_c.reshape(B, K * P)], axis=1)
 
         # ---- prune to top-K by total prob (the only ordering op) ----
         total = _logaddexp(cand_p_b, cand_p_nb) + lm_w * cand_lm

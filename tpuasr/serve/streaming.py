@@ -42,7 +42,7 @@ class StreamingRecognizer:
 
     def __init__(self, variables, feat_cfg: FeatureConfig, blank: int = 0,
                  decode: str = "greedy", beam_cfg=None, lm_bigram=None,
-                 lm_eos=None, keep_logp: bool = False):
+                 lm_eos=None, keep_logp: bool = False, graph=None):
         """decode: "greedy" (incremental emissions via feed()) or "beam"
         (resumable prefix beam search across chunks; read hypothesis() /
         flush() — beam hypotheses may revise earlier output, so per-chunk
@@ -51,6 +51,12 @@ class StreamingRecognizer:
         lm_bigram/lm_eos: shallow-fusion tables (NGramLM.fusion_matrix /
         eos_vector) applied inside the resumable beam search with
         beam_cfg.lm_weight; beam mode only.
+
+        graph: optional GraphTables (tpuasr/decode/graph.py) — the
+        decoding graph constrains the streaming beam search itself, and
+        each beam's graph state is part of the resumable carry, so the
+        constraint survives chunk boundaries (the streaming latgen
+        analog); beam mode only. Weighted by beam_cfg.graph_weight.
 
         keep_logp: retain per-chunk AM log-probs in ``logp_history`` so the
         caller can CTC-forced-align the final hypothesis for timestamps
@@ -74,6 +80,16 @@ class StreamingRecognizer:
                           else jnp.asarray(lm_bigram, jnp.float32))
         self.lm_eos = (None if lm_eos is None
                        else jnp.asarray(lm_eos, jnp.float32))
+        self.graph = None
+        if graph is not None:
+            if decode != "beam":
+                raise ValueError("graph decoding requires decode='beam'")
+            from tpuasr.decode.graph import GraphTables
+            # device_put ONCE (numpy args re-upload per call on axon).
+            self.graph = GraphTables(jnp.asarray(graph.next_state),
+                                     jnp.asarray(graph.cost, jnp.float32),
+                                     jnp.asarray(graph.final, jnp.float32),
+                                     graph.start)
         self.keep_logp = keep_logp
         p = variables["params"]
         self.p = p
@@ -352,7 +368,8 @@ class StreamingRecognizer:
             out = ctc_beam_search(
                 logp[None], jnp.asarray([Tc], jnp.int32), self.beam_cfg,
                 init_state=self._beam_state, return_state=True,
-                lm_bigram=self.lm_bigram, lm_eos=self.lm_eos)
+                lm_bigram=self.lm_bigram, lm_eos=self.lm_eos,
+                graph=self.graph)
             self._beam_state = out["state"]
             n = int(out["token_lens"][0, 0])
             self.tokens = np.asarray(out["tokens"])[0, 0, :n].tolist()
@@ -383,12 +400,13 @@ class BatchedStreamingRecognizer:
 
     def __init__(self, variables, feat_cfg: FeatureConfig, n_streams: int,
                  blank: int = 0, decode: str = "greedy", beam_cfg=None,
-                 lm_bigram=None, lm_eos=None):
+                 lm_bigram=None, lm_eos=None, graph=None):
         self.n = n_streams
         # Reuse the single-stream compute; vmap it over the slot axis.
         self._solo = StreamingRecognizer(variables, feat_cfg, blank,
                                          decode=decode, beam_cfg=beam_cfg,
-                                         lm_bigram=lm_bigram, lm_eos=lm_eos)
+                                         lm_bigram=lm_bigram, lm_eos=lm_eos,
+                                         graph=graph)
         self.blank = blank
         self.cfg = feat_cfg
         self.decode = decode
@@ -396,6 +414,7 @@ class BatchedStreamingRecognizer:
             self.beam_cfg = self._solo.beam_cfg
         self.lm_bigram = self._solo.lm_bigram
         self.lm_eos = self._solo.lm_eos
+        self.graph = self._solo.graph
         self._vfeat = jax.jit(jax.vmap(self._solo._featurize_frames,
                                        in_axes=(None, 0)))
         self._vconv1 = jax.jit(jax.vmap(self._solo._conv1,
@@ -438,6 +457,12 @@ class BatchedStreamingRecognizer:
         if self._beam_state is not None:
             from tpuasr.decode.prefix_beam import beam_init_state
             fresh = beam_init_state(1, self.beam_cfg)
+            if self.graph is not None and "gs" in self._beam_state:
+                K = self.beam_cfg.beam_width
+                fresh = dict(fresh,
+                             gs=jnp.full((1, K), self.graph.start,
+                                         jnp.int32),
+                             gc=jnp.zeros((1, K), jnp.float32))
             self._beam_state = jax.tree_util.tree_map(
                 lambda full, f1: full.at[slot].set(f1[0]),
                 self._beam_state, fresh)
@@ -534,12 +559,14 @@ class BatchedStreamingRecognizer:
         return b1, b2, new_h, jnp.argmax(logp, -1)
 
     @partial(jax.jit, static_argnums=0)
-    def _fused_step_beam(self, pw, ftabs, lm, frames, buf1, buf2, h,
+    def _fused_step_beam(self, pw, ftabs, lm, gtabs, frames, buf1, buf2, h,
                          bstate):
         """One whole resumable-beam tick as ONE program: AM + the
-        stateful prefix beam search (with optional LM shallow fusion)
-        advance together; the only host sync per tick is the running
-        hypothesis. lm: {"bigram": ..., "eos": ...} (entries optional)."""
+        stateful prefix beam search (with optional LM shallow fusion
+        and/or graph constraint) advance together; the only host sync per
+        tick is the running hypothesis. lm: {"bigram": ..., "eos": ...}
+        (entries optional); gtabs: None or (next_state, cost, final)
+        graph tables as jit ARGUMENTS (never captured constants)."""
         from tpuasr.decode.prefix_beam import ctc_beam_search
         b1, b2, new_h, logp = self._fused_am(pw, ftabs, frames, buf1,
                                              buf2, h)
@@ -548,11 +575,15 @@ class BatchedStreamingRecognizer:
             return (b1, b2, new_h, bstate,
                     jnp.full((N, 1, 1), -1, jnp.int32),
                     jnp.zeros((N, 1), jnp.int32))
+        graph = None
+        if gtabs is not None:
+            from tpuasr.decode.graph import GraphTables
+            graph = GraphTables(*gtabs, self.graph.start)
         Tc = logp.shape[1]
         res = ctc_beam_search(
             logp, jnp.full((logp.shape[0],), Tc, jnp.int32),
             self.beam_cfg, init_state=bstate, return_state=True,
-            lm_bigram=lm.get("bigram"), lm_eos=lm.get("eos"))
+            lm_bigram=lm.get("bigram"), lm_eos=lm.get("eos"), graph=graph)
         return (b1, b2, new_h, res["state"], res["tokens"],
                 res["token_lens"])
 
@@ -595,8 +626,12 @@ class BatchedStreamingRecognizer:
             if self._beam_state is None:
                 self._beam_state = beam_init_state(self.n, self.beam_cfg)
             lm = {"bigram": self.lm_bigram, "eos": self.lm_eos}
+            gtabs = (None if self.graph is None else
+                     (self.graph.next_state, self.graph.cost,
+                      self.graph.final))
             b1, b2, h, bstate, toks, tlens = self._fused_step_beam(
-                self._pw, self._ftabs_dev(), lm, jnp.asarray(frames),
+                self._pw, self._ftabs_dev(), lm, gtabs,
+                jnp.asarray(frames),
                 st["buf1"], st["buf2"], st["h"], self._beam_state)
             self._fstate = dict(buf1=b1, buf2=b2, h=h)
             self._beam_state = bstate
@@ -712,7 +747,8 @@ class BatchedStreamingRecognizer:
         res = ctc_beam_search(
             logp, jnp.full((len(active),), Tc, jnp.int32), self.beam_cfg,
             init_state=sub, return_state=True,
-            lm_bigram=self.lm_bigram, lm_eos=self.lm_eos)
+            lm_bigram=self.lm_bigram, lm_eos=self.lm_eos,
+            graph=self.graph)
         self._beam_state = jax.tree_util.tree_map(
             lambda full, new: full.at[act].set(new),
             self._beam_state, res["state"])
@@ -747,9 +783,14 @@ class BatchedStreamingRecognizer:
         if self.decode == "beam":
             if solo._beam_state is not None:
                 from tpuasr.decode.prefix_beam import beam_results
-                res = beam_results(solo._beam_state, 1,
-                                   lm_weight=self.beam_cfg.lm_weight,
-                                   lm_eos=self.lm_eos)
+                res = beam_results(
+                    solo._beam_state, 1,
+                    lm_weight=self.beam_cfg.lm_weight,
+                    lm_eos=self.lm_eos,
+                    graph_final=(None if self.graph is None
+                                 else self.graph.final),
+                    graph_weight=self.beam_cfg.graph_weight,
+                    graph_final_cap=self.beam_cfg.graph_final_cap)
                 n = int(res["token_lens"][0, 0])
                 toks = np.asarray(res["tokens"])[0, 0, :n].tolist()
             else:
