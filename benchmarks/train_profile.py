@@ -47,6 +47,11 @@ def jax_leaf(tree):
 
 
 def main():
+    # Wedge-proofing (VERDICT r4 next #2): probe + CPU pin before backend
+    # init, so the profile artifact can't hang the session.
+    from benchmarks.harness import decide_platform
+    decide_platform()
+
     import jax
     import jax.numpy as jnp
 
@@ -191,6 +196,27 @@ def main():
     np.asarray(m["loss"])
     res["step"] = (time.perf_counter() - t0) / n
 
+    # Train-step roofline (VERDICT r4 next #5): XLA-estimated FLOPs of the
+    # grad program + analytic Pallas-GRU correction (custom calls report
+    # 0 flops): 1x forward + ~2x backward of the recurrence matmuls.
+    rl = {}
+    try:
+        from tpuasr.features.reference import num_frames
+        from tpuasr.utils.profiling import (cost_analysis, gru_param_flops,
+                                            roofline)
+        ca = cost_analysis(grad_fn, state.params, state.batch_stats,
+                           dbatch, ftabs)
+        t_out = -(-int(num_frames(trainer.featurizer.cfg,
+                                  int(8000 * seconds))) // 2)
+        corr = (3.0 * gru_param_flops(state.params, B, t_out)
+                if on_tpu else 0.0)
+        rl = roofline(grad_fn,
+                      (state.params, state.batch_stats, dbatch, ftabs),
+                      res["step"], flops=ca["flops"] + corr,
+                      bytes_accessed=ca["bytes"])
+    except Exception as e:
+        rl = {"error": str(e)}
+
     out = {"metric": "train_step_profile_ms", "batch_size": B,
            "bf16": bf16, "fused_featurizer": fused, "ctc_impl": ctc_impl,
            "dropout0": dropout0, "fused_proj": fused_proj,
@@ -199,8 +225,15 @@ def main():
            "bwd_minus_fwd_ms": round((res["grad"] - res["loss_fwd"]) * 1e3,
                                      2),
            "opt_ms": round((res["step"] - res["grad"]) * 1e3, 2),
-           "utt_per_sec": round(B / res["step"], 1)}
-    print(json.dumps(out))
+           "utt_per_sec": round(B / res["step"], 1),
+           "train_mfu": round(rl.get("mfu", 0.0), 4),
+           "achieved_tflops": round(rl.get("achieved_tflops", 0.0), 2),
+           "hbm_frac": round(rl.get("hbm_frac", 0.0), 4),
+           "bound": rl.get("bound")}
+    line = json.dumps(out)
+    print(line)
+    if "--out" in sys.argv:
+        Path(sys.argv[sys.argv.index("--out") + 1]).write_text(line + "\n")
 
 
 if __name__ == "__main__":

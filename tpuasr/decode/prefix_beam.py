@@ -225,11 +225,20 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         init = dict(init, lm=jnp.zeros((B, K)))
     if "last2" not in init:
         init = dict(init, last2=jnp.full((B, K), -1, jnp.int32))
-    g_next = g_cost = g_final = None
+    g_pack = g_final = None
     if graph is not None:
         g_next = jnp.asarray(graph.next_state)          # (S, C) int32
         g_cost = jnp.asarray(graph.cost)                # (S, C) f32
         g_final = jnp.asarray(graph.final)              # (S,)
+        # ONE row gather per step instead of two: XLA serializes scattered
+        # row fetches from HBM tables (measured 178 us/frame for the
+        # next+cost pair at S=58k, B=128, K=8 — the graph arm's dominant
+        # cost, vs 17 us for the per-beam top_k), so next-state and cost
+        # ride a single packed (S, 2C) f32 table; a bitcast splits the
+        # int32 half back out after the gather, bit-exactly.
+        g_pack = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(g_next, jnp.float32),
+             g_cost.astype(jnp.float32)], axis=1)
         if "gs" not in init:
             init = dict(init,
                         gs=jnp.full((B, K), graph.start, jnp.int32),
@@ -240,7 +249,7 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         p_b, p_nb = state["p_b"], state["p_nb"]
         last, plen = state["last"], state["plen"]
         h1, h2 = state["h1"], state["h2"]
-        prefixes, lm = state["prefixes"], state["lm"]
+        lm = state["lm"]
         last2 = state["last2"]
 
         lp_blank = lp_t[:, blank]                       # (B,)
@@ -260,8 +269,10 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         # wherever state out-degree <= P; a 64x smaller hash-join tensor).
         if graph is not None:
             gs, gc = state["gs"], state["gc"]
-            nxt_rows = g_next[gs]                       # (B, K, C)
-            cost_rows = g_cost[gs]                      # (B, K, C)
+            rows = g_pack[gs]                           # (B, K, 2C), 1 gather
+            nxt_rows = jax.lax.bitcast_convert_type(rows[:, :, :C],
+                                                    jnp.int32)
+            cost_rows = rows[:, :, C:]
             allowed = nxt_rows >= 0
             sel = jnp.where(allowed,
                             lp_nb_all[:, None, :] - g_w * cost_rows,
@@ -358,17 +369,16 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         new_lm = h(cand_lm)
         sel_parent, sel_char = h(parent), h(ext_char)
 
-        # ---- materialize prefixes ----
-        par_prefix = jnp.take_along_axis(
-            prefixes, sel_parent[:, :, None], axis=1)   # (B, K, L)
+        # ---- parent-derived scalars. The prefix buffer itself is NOT
+        # materialized here: the scan emits (parent, char) backpointers
+        # and ONE reverse pass after the scan reconstructs token buffers
+        # — the Pallas kernel's design (pallas_beam.py). This removes the
+        # per-step (B, K, L) one-hot write, the scan's single largest
+        # tensor (L=256: 64x the (B, K*P) candidate tiles at K=P=8). ----
         par_len = jnp.take_along_axis(plen, sel_parent, axis=1)
         par_last = jnp.take_along_axis(last, sel_parent, axis=1)
         par_last2 = jnp.take_along_axis(last2, sel_parent, axis=1)
         extend = sel_char >= 0
-        wpos = jnp.clip(par_len, 0, L - 1)
-        onehot = (jnp.arange(L)[None, None, :] == wpos[:, :, None])
-        new_prefixes = jnp.where(onehot & extend[:, :, None],
-                                 sel_char[:, :, None], par_prefix)
         new_plen = par_len + extend.astype(jnp.int32)
         new_last = jnp.where(extend, sel_char, par_last)
         new_last2 = jnp.where(extend, par_last, par_last2)
@@ -379,7 +389,7 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
             return jnp.where(
                 live.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
         new_state = dict(
-            prefixes=fz(new_prefixes, prefixes), plen=fz(new_plen, plen),
+            plen=fz(new_plen, plen),
             last=fz(new_last, last), last2=fz(new_last2, last2),
             p_b=fz(new_p_b, p_b),
             p_nb=fz(new_p_nb, p_nb), lm=fz(new_lm, lm),
@@ -388,10 +398,45 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         if graph is not None:
             new_state["gs"] = fz(h(cand_gs), gs)
             new_state["gc"] = fz(h(cand_gc), gc)
-        return new_state, None
+        # Frozen rows emit identity backpointers (parent = own lane, no
+        # char) so reconstruction is a no-op past each row's length.
+        ident = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
+        bp_parent = jnp.where(live, sel_parent, ident)
+        bp_char = jnp.where(live, sel_char, -1)
+        return new_state, (bp_parent, bp_char)
 
     lp_seq = jnp.transpose(log_probs, (1, 0, 2))        # (T, B, C)
-    final, _ = jax.lax.scan(step, init, (lp_seq, jnp.arange(T)))
+    scan_init = {k: v for k, v in init.items() if k != "prefixes"}
+    final, (par_seq, chr_seq) = jax.lax.scan(step, scan_init,
+                                             (lp_seq, jnp.arange(T)))
+
+    # ---- prefix reconstruction: one reverse pass over the backpointer
+    # stream (cf. pallas_beam.py), then prepend each beam's resumed
+    # prefix (streaming: the chain bottoms out at an init-state beam). ----
+    k_iota = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
+
+    def back(cur, ys_t):
+        par_t, chr_t = ys_t
+        return (jnp.take_along_axis(par_t, cur, axis=1),
+                jnp.take_along_axis(chr_t, cur, axis=1))
+
+    k0, chars_rev = jax.lax.scan(back, k_iota,
+                                 (par_seq[::-1], chr_seq[::-1]))
+    chars = jnp.moveaxis(chars_rev, 0, 2)[:, :, ::-1]   # (B, K, T) chrono
+    base_prefix = init.get("prefixes")
+    if base_prefix is None:
+        base_prefix = jnp.full((B, K, L), -1, jnp.int32)
+    base_prefix = jnp.take_along_axis(base_prefix, k0[:, :, None], axis=1)
+    base_len = jnp.take_along_axis(init["plen"], k0, axis=1)
+    keep = chars >= 0
+    pos = base_len[:, :, None] + jnp.cumsum(keep, axis=2) - 1
+    pos = jnp.where(keep & (pos < L), pos, L)   # slot L = discard
+    buf = jnp.concatenate(
+        [base_prefix, jnp.full((B, K, 1), -1, jnp.int32)], axis=2)
+    buf = buf.at[jnp.arange(B)[:, None, None],
+                 jnp.arange(K)[None, :, None], pos].set(
+        jnp.where(keep, chars, -1))
+    final = dict(final, prefixes=buf[:, :, :L])
 
     out = beam_results(final, n_best, lm_weight=lm_w, lm_eos=lm_eos,
                        graph_final=g_final, graph_weight=g_w,
