@@ -81,6 +81,51 @@ class ArtifactWriter:
         return line
 
 
+class Watchdog:
+    """Abort the process when the harness stops making progress.
+
+    The axon tunnel's worst failure mode is a device op that HANGS (0%
+    CPU, forever) after a passing probe — exceptions never fire, so the
+    body-retry can't help and a mid-run wedge used to cost the whole
+    artifact (rounds 3 and 4). A daemon thread watches a heartbeat the
+    harness touches at every batch/stage; staleness past ``timeout_s``
+    (default 900 s — axon compiles legitimately take minutes, and the
+    persistent compile cache makes them one-time) prints a diagnostic
+    and hard-exits with code 42, so an outer retry loop can re-probe and
+    relaunch. Compiled executables are reused from the persistent cache
+    on relaunch, so a retry costs compute, not compiles."""
+
+    EXIT_CODE = 42
+
+    def __init__(self, timeout_s: float = 900.0, label: str = "harness"):
+        import threading
+        import time
+        self.timeout_s = timeout_s
+        self.label = label
+        self._last = time.monotonic()
+        self._stop = False
+        t = threading.Thread(target=self._watch, daemon=True)
+        t.start()
+
+    def beat(self):
+        import time
+        self._last = time.monotonic()
+
+    def close(self):
+        self._stop = True
+
+    def _watch(self):
+        import time
+        while not self._stop:
+            time.sleep(15.0)
+            stale = time.monotonic() - self._last
+            if not self._stop and stale > self.timeout_s:
+                print(f"{self.label}: watchdog fired — no progress for "
+                      f"{stale:.0f}s (wedged tunnel?); aborting for the "
+                      "outer retry loop", file=sys.stderr, flush=True)
+                os._exit(self.EXIT_CODE)
+
+
 def run_with_body_retry(main_fn, script_path: str, env_key: str,
                         timeout_s: int = 7200) -> int:
     """Run ``main_fn()``; if the body crashes (e.g. FAILED_PRECONDITION from

@@ -65,10 +65,13 @@ def make_trainer(ckpt_dir, epochs, continue_from=None, bf16=False,
     return Trainer(cfg, FeatureConfig(n_mels=40))
 
 
-def run_epochs(trainer, loader, state, lo, hi, utt_rates, aw=None):
+def run_epochs(trainer, loader, state, lo, hi, utt_rates, aw=None,
+               wd=None):
     """fit()'s inner loop with per-epoch wall-clock throughput capture.
     ``aw``: optional ArtifactWriter — flushed after every epoch so a
-    mid-run wedge keeps the epochs already measured."""
+    mid-run wedge keeps the epochs already measured. ``wd``: optional
+    Watchdog — beaten after each epoch's sync (a hang aborts for the
+    outer retry loop)."""
     for epoch in range(lo, hi):
         t0 = time.perf_counter()
         n_utts = 0
@@ -80,6 +83,8 @@ def run_epochs(trainer, loader, state, lo, hi, utt_rates, aw=None):
         # before the clock stops (honest utt/s under async dispatch).
         float(m["loss"])
         utt_rates.append(round(n_utts / (time.perf_counter() - t0), 1))
+        if wd is not None:
+            wd.beat()
         if aw is not None:
             aw.update(utt_per_sec_per_epoch=list(utt_rates),
                       value=round(float(np.mean(utt_rates[1:]
@@ -169,9 +174,10 @@ def main():
     # Wedge-proofing (VERDICT r4 next #2): bounded TPU probe + CPU pin on
     # failure before backend init; per-epoch incremental artifact writes;
     # fresh-process body retry at the bottom of the file.
-    from benchmarks.harness import ArtifactWriter, decide_platform
+    from benchmarks.harness import ArtifactWriter, Watchdog, decide_platform
     decide_platform()
     aw = ArtifactWriter(args.out)
+    wd = Watchdog(900.0, "train_sustained")
 
     import jax
     from tpuasr.data import AudioLoader, LoaderConfig
@@ -199,12 +205,12 @@ def main():
     aw.flush(stage="init")
     utt_rates = []
     state, _ = run_epochs(trainer, loader, state, 0, resume_at, utt_rates,
-                          aw=aw)
+                          aw=aw, wd=wd)
     # Mid-run checkpoint at the epoch boundary.
     save_checkpoint(str(tmp / "ckpt"), jax.device_get(state),
                     int(state.step), meta=trainer.ckpt_meta(resume_at))
     state, _ = run_epochs(trainer, loader, state, resume_at, args.epochs,
-                          utt_rates, aw=aw)
+                          utt_rates, aw=aw, wd=wd)
     final_continuous = jax.device_get(state.params)
     dev_m = trainer.evaluate(state, dev_loader)
 
@@ -236,13 +242,14 @@ def main():
     state2 = jax.device_put(state2, replicated_sharding(trainer2.mesh))
     assert meta["epoch"] == resume_at
     state2, _ = run_epochs(trainer2, loader2, state2, resume_at,
-                           args.epochs, [])
+                           args.epochs, [], wd=wd)
     final_resumed = jax.device_get(state2.params)
     resume_exact = all(
         np.array_equal(a, b)
         for a, b in zip(jax.tree_util.tree_leaves(final_continuous),
                         jax.tree_util.tree_leaves(final_resumed)))
 
+    wd.close()      # the mesh check runs in its own bounded subprocess
     mesh_ok = (None if args.skip_mesh_check
                else mesh_equality_subprocess())
 

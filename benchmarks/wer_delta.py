@@ -105,11 +105,15 @@ def main():
     # after every stage and eval batch, and (at the bottom of the file) a
     # one-shot fresh-process body retry — the bench.py treatment for the
     # harness whose round-4 full-scale output was lost to a mid-run wedge.
-    from benchmarks.harness import ArtifactWriter, decide_platform
+    from benchmarks.harness import ArtifactWriter, Watchdog, decide_platform
     decide_platform()
     from tpuasr.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     aw = ArtifactWriter(args.out)
+    # Hang watchdog: a post-probe tunnel wedge stalls a device op forever
+    # (no exception — body retry can't see it); abort so an outer loop can
+    # relaunch against the persistent compile cache.
+    wd = Watchdog(900.0, "wer_delta")
 
     import jax
     import jax.numpy as jnp
@@ -169,6 +173,10 @@ def main():
         train_loader.epoch = epoch
         for batch in train_loader:
             state, m = trainer.train_step(state, trainer._device_batch(batch))
+            wd.beat()
+        # Per-epoch sync: an async dispatch queue can hide a wedge from
+        # the watchdog for many epochs; a scalar pull keeps beats honest.
+        float(m["loss"])
     print(f"# final train loss {float(m['loss']):.3f}", file=sys.stderr)
     aw.update(backend=jax.default_backend(),
               final_train_loss=round(float(m["loss"]), 4),
@@ -330,6 +338,7 @@ def main():
             tlens = np.asarray(o["token_lens"])
             out_h.extend(toks[j, 0][:tlens[j, 0]].tolist()
                          for j in range(len(real)) if real[j])
+            wd.beat()
         return out_h
 
     def host_fst_hyps(fst, asc):
@@ -510,6 +519,7 @@ def main():
             **{f"wer_{nm}": round(wer(word_refs, word_hyps[k]), 4)
                for k, nm in ARM_NAMES if word_hyps[k]})
         aw.flush(stage="eval")
+        wd.beat()
 
     def decode_pass(vs, beam_only=False, fwd=None):
         """greedy + XLA-beam + Pallas-beam hypotheses for one param set."""
@@ -529,6 +539,7 @@ def main():
                 for k, d in dec.items():
                     o[k].append(np.asarray(d["tokens"])[j, 0]
                                 [:int(d["token_lens"][j, 0])].tolist())
+            wd.beat()
         return o
 
     # SOFT operating point: the converged AM's posteriors are near one-hot
@@ -723,6 +734,7 @@ def main():
             [g == h for g, h in zip(hyp["g"], hyp["hg"])])), 4)
         out["device_vs_cpp_beam_agree"] = round(float(np.mean(
             [b == h for b, h in zip(hyp["bx"], hyp["hb"])])), 4)
+    wd.close()
     aw.update(**out)
     line = aw.finish()
     print(line)
