@@ -243,3 +243,44 @@ def test_cli_train_predict_test(tmp_path):
                   "--fst", tl_path, "--fst-osyms", osyms_path,
                   "--graph-decode")
     assert "word-error-rate" in out and "final-reached" in out
+
+
+@pytest.mark.slow
+def test_cli_stream_graph_decode(tmp_path):
+    """stream.py --graph-decode: the graph rides the STREAMING beam (state
+    carried across chunks) and the final words come from graph replay."""
+    corpus = make_synthetic_corpus(tmp_path / "corpus", num_utts=10,
+                                   vocab_size=5, min_tokens=2, max_tokens=3)
+    log_dir = tmp_path / "run"
+    run_cli("batch_train.py", "deepspeech_ctc",
+            "--train-manifest", corpus.manifest,
+            "--units", corpus.root / "units.txt",
+            "--batch-size", 4, "--num-epochs", 2, "--lr", "3e-3",
+            "--max-label-len", 4, "--log-dir", log_dir,
+            "--log-every", 100, "--no-cmvn",
+            "--model-kwarg", "bidirectional=False",
+            "--model-kwarg", "explicit_pad=True")
+    from tpuasr.decode import SymbolTable, lexicon_to_fst
+    word_prons = [("wA", (1, 2)), ("wB", (2, 1)), ("wC", (3,)),
+                  ("wD", (4, 1))]
+    units_list = (corpus.root / "units.txt").read_text().splitlines()
+    lex_path = tmp_path / "lexicon.txt"
+    lex_path.write_text("".join(
+        f"{w} {' '.join(units_list[p] for p in pron)}\n"
+        for w, pron in word_prons))
+    words_path = tmp_path / "words.txt"
+    SymbolTable({w: i for i, (w, _) in enumerate(word_prons)}
+                ).save(words_path)
+    wav = corpus.root / "wav" / "train_0000.wav"
+    out = run_cli("stream.py", wav, "--checkpoint", log_dir / "ckpt",
+                  "--units", corpus.root / "units.txt",
+                  "--lexicon", lex_path, "--words", words_path,
+                  "--graph-decode")
+    assert "# transcript:" in out
+    wline = [l for l in out.splitlines() if l.startswith("# words:")]
+    assert wline, out
+    vocab = {w for w, _ in word_prons}
+    ws = wline[0].split(":", 1)[1].split()
+    # Graph-constrained streaming: every emitted word is in the lexicon
+    # (or the explicit no-complete-parse marker for an empty hypothesis).
+    assert all(w in vocab for w in ws) or "(hypothesis" in wline[0]

@@ -21,6 +21,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--continue-from", "--checkpoint", dest="checkpoint",
                    required=True)
     p.add_argument("--units", default=None)
+    p.add_argument("--words", default=None,
+                   help="words.txt symbol table (for --graph-decode word "
+                        "output)")
+    p.add_argument("--lexicon", default=None,
+                   help="lexicon 'WORD unit unit ...' — with --words and "
+                        "--graph-decode, the decoding graph is built "
+                        "in-repo (tpuasr/decode/graph.py)")
     p.add_argument("--chunk-ms", type=float, default=200.0)
     p.add_argument("--beam", action="store_true",
                    help="resumable prefix beam search across chunks "
