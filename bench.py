@@ -194,7 +194,7 @@ def main() -> int:
                                        class_topk=NUM_CLASSES - 1,
                                        max_len=256)
 
-        def make_pipeline_graph(cfg):
+        def make_pipeline_graph(cfg, gather="xla"):
             @jax.jit
             def pipeline_graph(variables, ftabs, nxt, cost, fin, wav,
                                wav_lens):
@@ -203,7 +203,8 @@ def main() -> int:
                                              train=False)
                 out = ctc_beam_search(
                     logp, out_lens, cfg,
-                    graph=GraphTables(nxt, cost, fin, tabs.start))
+                    graph=GraphTables(nxt, cost, fin, tabs.start),
+                    graph_gather_impl=gather)
                 return out["tokens"], out["token_lens"], out["scores"]
             return pipeline_graph
 
@@ -233,6 +234,27 @@ def main() -> int:
              and (pr_t[b, 0, :pr_l[b, 0]] == fl_t[b, 0, :fl_l[b, 0]]).all())
             for b in range(pr_t.shape[0])]
         graph_cols["graph_prune_agree"] = round(float(np.mean(agree)), 4)
+
+        # DMA-ring gather A/B (tpuasr/ops/pallas_gather.py): the graph
+        # arm's dominant cost is the per-step scattered row fetch; this
+        # times the same search with the Pallas ring replacing XLA's
+        # gather. Chip-only (interpret mode in a 1000-step scan is not a
+        # measurement); must be BIT-identical to the XLA-gather arm.
+        if on_tpu:
+            pipeline_pg = make_pipeline_graph(gb_cfg, gather="pallas")
+            pg_out = pipeline_pg(variables, ftabs, *tab_args, wav_d,
+                                 lens_d)
+            np.asarray(pg_out[0][0, :1])
+            t0 = time.perf_counter()
+            for _ in range(n_g):
+                pg_out = pipeline_pg(variables, ftabs, *tab_args, wav_d,
+                                     lens_d)
+            np.asarray(pg_out[0][0, :1])
+            pg_dt = (time.perf_counter() - t0) / n_g
+            graph_cols["graph_rtf_pallas_gather_x"] = round(
+                audio_seconds / pg_dt, 2)
+            graph_cols["graph_pallas_gather_agree"] = round(float(
+                np.mean(np.asarray(pg_out[0]) == np.asarray(g_out[0]))), 4)
 
         # Host C++ WFST first pass over the SAME posteriors (the accurate
         # arm's cost when it stays on the host — reference architecture).

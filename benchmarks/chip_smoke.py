@@ -305,6 +305,20 @@ def main() -> int:
     check("pallas_beam + bigram fusion", lambda: beam_dev(2), tol=5e-4)
     check("pallas_beam + trigram fusion", lambda: beam_dev(3), tol=5e-4)
 
+    # ---- DMA-ring graph-row gather (tpuasr/ops/pallas_gather.py) ----
+    # Interpret-mode tests can pass on a kernel Mosaic rejects; compile
+    # the ring on hardware at a bench-like row width and check exactness.
+    def gather_dev():
+        from tpuasr.ops.pallas_gather import gather_rows
+        Sg, Wg = 4096, 128
+        table = jnp.asarray(
+            rng.standard_normal((Sg, Wg)).astype(np.float32))
+        gidx = jnp.asarray(rng.integers(0, Sg, size=(16, 8)), jnp.int32)
+        got = np.asarray(jax.jit(gather_rows)(table, gidx))
+        ref = np.asarray(table)[np.asarray(gidx)]
+        return float(np.abs(got - ref).max())
+    check("pallas_gather DMA ring", gather_dev, tol=0.0)
+
     # ---- dispatch health ----
     # A jit that closes over a multi-MB device constant permanently flips
     # the axon terminal into a degraded synchronous dispatch mode (~2 ms

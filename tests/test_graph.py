@@ -348,6 +348,26 @@ class TestGraphBeam:
             assert got == besty, (trial, got, besty)
             assert abs(float(out["scores"][0, 0]) - best) < 1e-3
 
+    def test_pallas_gather_impl_matches_xla(self):
+        """graph_gather_impl="pallas" (DMA-ring row fetch,
+        tpuasr/ops/pallas_gather.py) must be bit-identical to the XLA
+        gather — it is the same row copy, only the memory system differs."""
+        lg, tabs = self._tables()
+        rng = np.random.default_rng(11)
+        lp = rng.standard_normal((4, 12, 5)).astype(np.float32)
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        lens = np.array([12, 9, 5, 12], np.int32)
+        cfg = BeamSearchConfig(beam_width=8, class_topk=3, max_len=16)
+        a = ctc_beam_search(lp, lens, cfg, n_best=4, graph=tabs)
+        b = ctc_beam_search(lp, lens, cfg, n_best=4, graph=tabs,
+                            graph_gather_impl="pallas")
+        np.testing.assert_array_equal(np.asarray(a["tokens"]),
+                                      np.asarray(b["tokens"]))
+        np.testing.assert_array_equal(np.asarray(a["scores"]),
+                                      np.asarray(b["scores"]))
+        np.testing.assert_array_equal(np.asarray(a["graph_scores"]),
+                                      np.asarray(b["graph_scores"]))
+
     def test_hypotheses_in_graph_language(self):
         """Every returned (finite-score, final) hypothesis must be accepted
         by the graph, and replay through the original LG gives words."""

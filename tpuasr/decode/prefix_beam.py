@@ -162,7 +162,8 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
                     n_best: int = 1, init_state: dict = None,
                     return_state: bool = False, lm_bigram=None,
                     lm_eos=None, lm_trigram=None, graph=None,
-                    lm_weight=None, graph_weight=None):
+                    lm_weight=None, graph_weight=None,
+                    graph_gather_impl: str = "xla"):
     """CTC prefix beam search over a batch.
 
     Args:
@@ -197,6 +198,12 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         may be TRACED scalars — weight sweeps then reuse one executable
         instead of recompiling per value (compiles cost minutes on the
         axon terminal).
+      graph_gather_impl: "xla" (default) routes the per-step (B, K) row
+        fetch from the packed (S, 2C) graph table through XLA's dynamic
+        gather; "pallas" through the DMA-ring kernel
+        (tpuasr/ops/pallas_gather.py) that overlaps the latency-bound
+        scattered row fetches 16 deep. Identical results (a row copy
+        either way); bench.py A/Bs the two on chip.
 
     Returns dict with:
       tokens: (B, n_best, max_len) int32, padded with -1
@@ -269,7 +276,11 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         # wherever state out-degree <= P; a 64x smaller hash-join tensor).
         if graph is not None:
             gs, gc = state["gs"], state["gc"]
-            rows = g_pack[gs]                           # (B, K, 2C), 1 gather
+            if graph_gather_impl == "pallas":
+                from tpuasr.ops.pallas_gather import gather_rows
+                rows = gather_rows(g_pack, gs)          # (B, K, 2C), DMA ring
+            else:
+                rows = g_pack[gs]                       # (B, K, 2C), 1 gather
             nxt_rows = jax.lax.bitcast_convert_type(rows[:, :, :C],
                                                     jnp.int32)
             cost_rows = rows[:, :, C:]
