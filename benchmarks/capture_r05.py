@@ -28,6 +28,7 @@ persistent compile cache makes relaunches cost compute, not compiles.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -83,15 +84,25 @@ def artifact_backend(path: Path) -> str | None:
 
 def run_job(argv: list[str], out_name: str, timeout_s: int,
             attempts: int = 3, wait_budget_s: float = 4 * 3600) -> bool:
+    """Run one harness to a TPU-backed artifact.
+
+    The harness runs with TPUASR_REQUIRE_TPU=1 so a failed in-harness
+    probe exits 43 immediately instead of burning hours on a full-scale
+    single-core CPU run. rc 43 (probe refused) and rc 42 (mid-run
+    Watchdog wedge abort) do NOT consume an attempt — they are tunnel
+    weather, bounded by the overall deadline; only real failures count."""
     out = REPO / out_name
-    for attempt in range(1, attempts + 1):
-        if not wait_for_tpu(wait_budget_s):
+    deadline = time.monotonic() + wait_budget_s + timeout_s
+    env = dict(os.environ, TPUASR_REQUIRE_TPU="1")
+    fails = 0
+    while fails < attempts and time.monotonic() < deadline:
+        if not wait_for_tpu(deadline - time.monotonic()):
             return False
-        print(f"capture_r05: [{out_name}] attempt {attempt}: "
+        print(f"capture_r05: [{out_name}] launch (fails={fails}): "
               f"{' '.join(argv)}", flush=True)
         t0 = time.monotonic()
         try:
-            rc = subprocess.run([sys.executable, *argv], cwd=REPO,
+            rc = subprocess.run([sys.executable, *argv], cwd=REPO, env=env,
                                 timeout=timeout_s).returncode
         except subprocess.TimeoutExpired:
             print(f"capture_r05: [{out_name}] timed out after {timeout_s}s",
@@ -104,7 +115,11 @@ def run_job(argv: list[str], out_name: str, timeout_s: int,
                   f"(backend={backend})", flush=True)
             return True
         print(f"capture_r05: [{out_name}] rc={rc} backend={backend} "
-              f"after {dt:.0f}s; retrying", flush=True)
+              f"after {dt:.0f}s; "
+              + ("tunnel weather — waiting" if rc in (42, 43)
+                 else "counts as a failure"), flush=True)
+        if rc not in (42, 43):
+            fails += 1
     return False
 
 

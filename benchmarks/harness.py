@@ -35,6 +35,15 @@ def decide_platform() -> bool:
 
     want_cpu = os.environ.get("TPUASR_PLATFORM") == "cpu"
     tpu_ok = (not want_cpu) and probe_tpu_retry()
+    if not tpu_ok and os.environ.get("TPUASR_REQUIRE_TPU") == "1":
+        # Artifact-of-record mode (capture_r05.py): a CPU fallback run at
+        # full scale is hours of single-core compute producing a JSON the
+        # orchestrator must reject anyway — exit fast with a distinct code
+        # so the outer loop goes back to waiting on the tunnel instead.
+        print("harness: TPU required (TPUASR_REQUIRE_TPU=1) but the probe "
+              "failed; exiting 43 for the outer wait loop", file=sys.stderr,
+              flush=True)
+        raise SystemExit(43)
     import jax
 
     if not tpu_ok:
