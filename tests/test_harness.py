@@ -52,6 +52,22 @@ class TestArtifactWriter:
             json.loads(p.read_text())   # parse must never fail
 
 
+class TestRequireTpu:
+    def test_failed_probe_exits_43_instead_of_cpu_fallback(self):
+        """With TPUASR_REQUIRE_TPU=1 and a probe that cannot see a TPU,
+        decide_platform must exit 43 fast (the capture orchestrator's
+        wait-loop contract) rather than pinning CPU and letting a
+        full-scale artifact run burn hours off-chip."""
+        code = ("import os; os.environ['TPUASR_REQUIRE_TPU'] = '1';"
+                "os.environ['TPUASR_PLATFORM'] = 'cpu';"   # forces probe fail
+                "from benchmarks.harness import decide_platform;"
+                "decide_platform()")
+        proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                              capture_output=True, text=True, timeout=120)
+        assert proc.returncode == 43, (proc.returncode, proc.stderr)
+        assert "TPUASR_REQUIRE_TPU" in proc.stderr
+
+
 @pytest.mark.slow
 class TestKillMidRun:
     def test_sigkill_leaves_valid_partial_artifact(self, tmp_path):
