@@ -29,6 +29,12 @@ def main() -> int:
 
     want_cpu = os.environ.get("TPUASR_PLATFORM") == "cpu"
     tpu_ok = (not want_cpu) and probe_tpu_retry()
+    if not tpu_ok and os.environ.get("TPUASR_REQUIRE_TPU") == "1":
+        # Artifact-capture mode (benchmarks/capture_r05.py): skip the CPU
+        # fallback — the orchestrator wants to wait the tunnel out.
+        print("bench: TPU required but probe failed; exiting 43",
+              file=sys.stderr, flush=True)
+        return 43
 
     import jax
 

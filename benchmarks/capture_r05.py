@@ -36,16 +36,21 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-#           argv (under sys.executable)                               out file
+#   argv (under sys.executable) / out file / timeout / kind
+#   kind: artifact     — harness writes out itself; gate on recorded backend
+#         stdout_json  — last stdout line is the JSON; gate on its backend
+#         smoke        — rc==0 is the gate; stdout+stderr saved to out
 JOBS = [
     (["benchmarks/wer_delta.py", "--out", "WERDELTA_r05.json"],
-     "WERDELTA_r05.json", 4 * 3600),
+     "WERDELTA_r05.json", 4 * 3600, "artifact"),
     (["benchmarks/train_sustained.py", "--out", "TRAIN_r05.json",
       "--batch-size", "64", "--bf16"],
-     "TRAIN_r05.json", 2 * 3600),
+     "TRAIN_r05.json", 2 * 3600, "artifact"),
     (["benchmarks/train_profile.py", "--ctc", "auto",
       "--out", "TRAINPROFILE_r05.json"],
-     "TRAINPROFILE_r05.json", 1 * 3600),
+     "TRAINPROFILE_r05.json", 1 * 3600, "artifact"),
+    (["bench.py"], "BENCH_r05_preview.json", 1 * 3600, "stdout_json"),
+    (["benchmarks/chip_smoke.py"], "CHIPSMOKE_r05.txt", 1 * 3600, "smoke"),
 ]
 
 
@@ -83,14 +88,17 @@ def artifact_backend(path: Path) -> str | None:
 
 
 def run_job(argv: list[str], out_name: str, timeout_s: int,
-            attempts: int = 3, wait_budget_s: float = 4 * 3600) -> bool:
-    """Run one harness to a TPU-backed artifact.
+            kind: str = "artifact", attempts: int = 3,
+            wait_budget_s: float = 4 * 3600) -> bool:
+    """Run one chip job to a TPU-backed artifact.
 
-    The harness runs with TPUASR_REQUIRE_TPU=1 so a failed in-harness
+    Harness jobs run with TPUASR_REQUIRE_TPU=1 so a failed in-harness
     probe exits 43 immediately instead of burning hours on a full-scale
-    single-core CPU run. rc 43 (probe refused) and rc 42 (mid-run
-    Watchdog wedge abort) do NOT consume an attempt — they are tunnel
-    weather, bounded by the overall deadline; only real failures count."""
+    single-core CPU run. rc 43 (probe refused), rc 42 (mid-run Watchdog
+    wedge abort), chip_smoke's rc 2 (fail-fast no-TPU), and a bench JSON
+    whose backend fell back to cpu do NOT consume an attempt — they are
+    tunnel weather, bounded by the overall deadline; only real failures
+    count."""
     out = REPO / out_name
     deadline = time.monotonic() + wait_budget_s + timeout_s
     env = dict(os.environ, TPUASR_REQUIRE_TPU="1")
@@ -101,32 +109,68 @@ def run_job(argv: list[str], out_name: str, timeout_s: int,
         print(f"capture_r05: [{out_name}] launch (fails={fails}): "
               f"{' '.join(argv)}", flush=True)
         t0 = time.monotonic()
+        capture = kind in ("stdout_json", "smoke")
         try:
-            rc = subprocess.run([sys.executable, *argv], cwd=REPO, env=env,
-                                timeout=timeout_s).returncode
+            proc = subprocess.run([sys.executable, *argv], cwd=REPO,
+                                  env=env, timeout=timeout_s,
+                                  capture_output=capture, text=capture)
+            rc = proc.returncode
         except subprocess.TimeoutExpired:
             print(f"capture_r05: [{out_name}] timed out after {timeout_s}s",
                   flush=True)
-            rc = -1
+            rc, proc = -1, None
         dt = time.monotonic() - t0
-        backend = artifact_backend(out)
-        if rc == 0 and backend == "tpu":
-            print(f"capture_r05: [{out_name}] DONE in {dt:.0f}s "
-                  f"(backend={backend})", flush=True)
+
+        ok = weather = False
+        if kind == "artifact":
+            backend = artifact_backend(out)
+            ok = rc == 0 and backend == "tpu"
+            weather = rc in (42, 43)
+            detail = f"rc={rc} backend={backend}"
+        elif kind == "stdout_json":
+            rec, detail = None, f"rc={rc} (no parsable JSON line)"
+            if proc is not None and rc == 0:
+                for line in reversed(proc.stdout.splitlines()):
+                    try:
+                        rec = json.loads(line)
+                        break
+                    except ValueError:
+                        continue
+            if rec is not None:
+                detail = f"rc={rc} backend={rec.get('backend')}"
+                if rec.get("backend") == "tpu":
+                    tmp = out.with_name(out.name + ".tmp")
+                    tmp.write_text(json.dumps(rec) + "\n")
+                    os.replace(tmp, out)
+                    ok = True
+                else:
+                    weather = True      # probe lost the race -> cpu JSON
+            weather = weather or rc == 43
+        else:   # smoke
+            if proc is not None:
+                tmp = out.with_name(out.name + ".tmp")
+                tmp.write_text((proc.stdout or "") + (proc.stderr or ""))
+                os.replace(tmp, out)
+            ok = rc == 0
+            weather = rc in (2, 43)
+            detail = f"rc={rc}"
+
+        if ok:
+            print(f"capture_r05: [{out_name}] DONE in {dt:.0f}s ({detail})",
+                  flush=True)
             return True
-        print(f"capture_r05: [{out_name}] rc={rc} backend={backend} "
-              f"after {dt:.0f}s; "
-              + ("tunnel weather — waiting" if rc in (42, 43)
+        print(f"capture_r05: [{out_name}] {detail} after {dt:.0f}s; "
+              + ("tunnel weather — waiting" if weather
                  else "counts as a failure"), flush=True)
-        if rc not in (42, 43):
+        if not weather:
             fails += 1
     return False
 
 
 def main() -> int:
     results = {}
-    for argv, out_name, timeout_s in JOBS:
-        results[out_name] = run_job(argv, out_name, timeout_s)
+    for argv, out_name, timeout_s, kind in JOBS:
+        results[out_name] = run_job(argv, out_name, timeout_s, kind)
     print("capture_r05 summary:", json.dumps(results), flush=True)
     return 0 if all(results.values()) else 1
 
