@@ -119,6 +119,14 @@ def main() -> int:
         out = beam(logp, out_lens, bs_cfg)
         return out["tokens"], out["token_lens"], out["scores"]
 
+    # Post-probe wedge insurance (the probe can pass and the tunnel die
+    # seconds later): a 15-min no-progress watchdog aborts with exit 42 so
+    # an outer queue (capture_r05.py) can re-probe and relaunch instead of
+    # hanging to its subprocess timeout. Compiles are one-time (persistent
+    # cache), so 900 s of true no-progress means a dead tunnel.
+    from benchmarks.harness import Watchdog
+    wd = Watchdog(900.0, "bench")
+
     ftabs = getattr(fz, "tables", None)
     wav_d = jnp.asarray(wav)
     lens_d = jnp.asarray(wav_lens)
@@ -127,6 +135,7 @@ def main() -> int:
     # async-lazy mode — a host transfer drains the queue in every mode).
     out = pipeline(variables, ftabs, wav_d, lens_d)
     np.asarray(out[0][0, :1])
+    wd.beat()
 
     # Timed runs: queue n_iter executions, then drain once.
     n_iter = 20 if on_tpu else 2
@@ -135,6 +144,7 @@ def main() -> int:
         out = pipeline(variables, ftabs, wav_d, lens_d)
     np.asarray(out[0][0, :1])
     dt = (time.perf_counter() - t0) / n_iter
+    wd.beat()
 
     audio_seconds = B * SECONDS
     rtf_x = audio_seconds / dt
@@ -219,6 +229,7 @@ def main() -> int:
                          for x in (tabs.next_state, tabs.cost, tabs.final))
         g_out = pipeline_graph(variables, ftabs, *tab_args, wav_d, lens_d)
         np.asarray(g_out[0][0, :1])                       # compile + drain
+        wd.beat()
         n_g = 10 if on_tpu else 2
         t0 = time.perf_counter()
         for _ in range(n_g):
@@ -233,6 +244,7 @@ def main() -> int:
         # (exact wherever out-degree <= P; measured, not assumed).
         gf_out = make_pipeline_graph(gb_cfg_full)(
             variables, ftabs, *tab_args, wav_d, lens_d)
+        wd.beat()
         pr_t, pr_l = np.asarray(g_out[0]), np.asarray(g_out[1])
         fl_t, fl_l = np.asarray(gf_out[0]), np.asarray(gf_out[1])
         agree = [
@@ -251,6 +263,7 @@ def main() -> int:
             pg_out = pipeline_pg(variables, ftabs, *tab_args, wav_d,
                                  lens_d)
             np.asarray(pg_out[0][0, :1])
+            wd.beat()
             t0 = time.perf_counter()
             for _ in range(n_g):
                 pg_out = pipeline_pg(variables, ftabs, *tab_args, wav_d,
@@ -274,6 +287,7 @@ def main() -> int:
         ol_np = np.asarray(out_lens, np.int32)
         t0 = time.perf_counter()
         wfst_ctc_decode(lg, lp_np, ol_np, beam=12.0, max_active=500)
+        wd.beat()
         graph_cols["host_fst_rtf_x"] = round(
             audio_seconds / (time.perf_counter() - t0), 2)
         graph_cols["host_threads"] = os.cpu_count()

@@ -168,8 +168,11 @@ def run_job(argv: list[str], out_name: str, timeout_s: int,
 
 
 def main() -> int:
+    jobs = JOBS
+    if len(sys.argv) > 1:       # re-run a subset: capture_r05.py OUT [OUT..]
+        jobs = [j for j in JOBS if j[1] in sys.argv[1:]]
     results = {}
-    for argv, out_name, timeout_s, kind in JOBS:
+    for argv, out_name, timeout_s, kind in jobs:
         results[out_name] = run_job(argv, out_name, timeout_s, kind)
     print("capture_r05 summary:", json.dumps(results), flush=True)
     return 0 if all(results.values()) else 1

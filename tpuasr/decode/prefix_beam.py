@@ -241,11 +241,18 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
         # row fetches from HBM tables (measured 178 us/frame for the
         # next+cost pair at S=58k, B=128, K=8 — the graph arm's dominant
         # cost, vs 17 us for the per-beam top_k), so next-state and cost
-        # ride a single packed (S, 2C) f32 table; a bitcast splits the
-        # int32 half back out after the gather, bit-exactly.
+        # ride a single packed (S, 2C) table; a bitcast splits the other
+        # half back out after the gather. The carrier dtype must be INT32,
+        # not f32: state ids < 2^23 are DENORMAL float32 bit patterns, and
+        # the TPU's vector data paths flush denormals to zero — an f32
+        # carrier silently collapsed next-state ids to 0 (the start state)
+        # on hardware while every CPU test stayed green (WERDELTA_r05:
+        # graph arms at 58.7% WER vs 8.5% host). Integer lanes are never
+        # flushed; f32 cost bits survive the int32 round-trip exactly.
         g_pack = jnp.concatenate(
-            [jax.lax.bitcast_convert_type(g_next, jnp.float32),
-             g_cost.astype(jnp.float32)], axis=1)
+            [g_next,
+             jax.lax.bitcast_convert_type(g_cost.astype(jnp.float32),
+                                          jnp.int32)], axis=1)
         if "gs" not in init:
             init = dict(init,
                         gs=jnp.full((B, K), graph.start, jnp.int32),
@@ -281,9 +288,9 @@ def ctc_beam_search(log_probs, lengths, cfg: BeamSearchConfig = None,
                 rows = gather_rows(g_pack, gs)          # (B, K, 2C), DMA ring
             else:
                 rows = g_pack[gs]                       # (B, K, 2C), 1 gather
-            nxt_rows = jax.lax.bitcast_convert_type(rows[:, :, :C],
-                                                    jnp.int32)
-            cost_rows = rows[:, :, C:]
+            nxt_rows = rows[:, :, :C]
+            cost_rows = jax.lax.bitcast_convert_type(rows[:, :, C:],
+                                                     jnp.float32)
             allowed = nxt_rows >= 0
             sel = jnp.where(allowed,
                             lp_nb_all[:, None, :] - g_w * cost_rows,
