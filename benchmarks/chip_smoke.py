@@ -305,6 +305,55 @@ def main() -> int:
     check("pallas_beam + bigram fusion", lambda: beam_dev(2), tol=5e-4)
     check("pallas_beam + trigram fusion", lambda: beam_dev(3), tol=5e-4)
 
+    # ---- graph-constrained beam ON HARDWARE ----
+    # The packed next+cost gather once shipped with an f32 carrier whose
+    # denormal-range int32 state ids the TPU flushed to zero — every CPU
+    # test green, every chip decode silently wrong (WERDELTA_r05). This
+    # drives the graph beam on the device over one-hot posteriors that
+    # spell a planted in-graph sentence: tokens must equal the plant and
+    # every hypothesis must reach a final state.
+    def graph_beam_dev():
+        from tpuasr.decode import (GraphTables, compile_graph_tables,
+                                   compose, lexicon_to_fst, ngram_to_fst)
+        from tpuasr.lm import train_ngram as _tn
+        prons = [("a", (1, 2)), ("b", (3,)), ("c", (2, 3, 1))]
+        lg = compose(lexicon_to_fst(prons),
+                     ngram_to_fst(_tn([["a", "b"], ["b", "c"],
+                                       ["a", "b", "c"]], order=2),
+                                  {"a": 1, "b": 2, "c": 3}))
+        tabs = compile_graph_tables(lg, 5)
+        plant = [1, 2, 3, 2, 3, 1]            # "a b c"
+        Tg = 2 * len(plant) + 2
+        lpx = np.full((2, Tg, 5), -14.0, np.float32)
+        for bb in range(2):
+            t = 0
+            prev = None
+            for tok in plant:
+                if tok == prev:
+                    lpx[bb, t, 0] = 0.0
+                    t += 1
+                lpx[bb, t, tok] = 0.0
+                t += 1
+                prev = tok
+            while t < Tg:
+                lpx[bb, t, 0] = 0.0
+                t += 1
+            lpx[bb] -= np.log(np.exp(lpx[bb]).sum(-1, keepdims=True))
+        g_out = ctc_beam_search(
+            jnp.asarray(lpx), jnp.asarray([Tg, Tg], np.int32),
+            BeamSearchConfig(beam_width=4, class_topk=4, max_len=16),
+            graph=GraphTables(*(jnp.asarray(x) for x in
+                                (tabs.next_state, tabs.cost, tabs.final)),
+                              tabs.start))
+        tk = np.asarray(g_out["tokens"])
+        tl = np.asarray(g_out["token_lens"])
+        fin = np.asarray(g_out["reached_final"])
+        ok = all(tk[bb, 0, :tl[bb, 0]].tolist() == plant and fin[bb, 0]
+                 for bb in range(2))
+        return 0.0 if ok else np.inf
+    check("graph beam on device (denormal canary)", graph_beam_dev,
+          tol=0.0)
+
     # ---- DMA-ring graph-row gather (tpuasr/ops/pallas_gather.py) ----
     # Interpret-mode tests can pass on a kernel Mosaic rejects; compile
     # the ring on hardware at a bench-like row width and check exactness.
