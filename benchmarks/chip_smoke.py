@@ -351,8 +351,54 @@ def main() -> int:
         ok = all(tk[bb, 0, :tl[bb, 0]].tolist() == plant and fin[bb, 0]
                  for bb in range(2))
         return 0.0 if ok else np.inf
-    check("graph beam on device (denormal canary)", graph_beam_dev,
-          tol=0.0)
+    check("graph beam on device (tiny LG)", graph_beam_dev, tol=0.0)
+
+    # The denormal canary proper. The f32-carrier bug was SHAPE-dependent:
+    # a tiny graph (and even a 50k-row zero-padded one) decoded fine on
+    # chip while the 22k-state harness graph at B=16/K=8/C=14 corrupted
+    # (token_exact 0.06) — the flushing gather lowering only gets picked
+    # at larger gather shapes. This chain automaton replicates the failing
+    # configuration synthetically: from state s the ONLY legal class is
+    # 1 + s % (C-1) -> s+1, final solely at state L, one-hot posteriors
+    # spelling the forced walk; any corrupted next-state id kills the one
+    # legal path. Measured: old f32 carrier FAILs this (final_frac 0.00),
+    # int32 carrier PASSes.
+    def graph_beam_chain_dev():
+        from tpuasr.decode import GraphTables
+        Sg, Cg, Lg = 22_000, 14, 20
+        plant = [1 + (i % (Cg - 1)) for i in range(Lg)]
+        nxt = np.full((Sg, Cg), -1, np.int32)
+        cost = np.zeros((Sg, Cg), np.float32)
+        s_ids = np.arange(Sg - 1)
+        nxt[s_ids, 1 + (s_ids % (Cg - 1))] = s_ids + 1
+        cost[s_ids, 1 + (s_ids % (Cg - 1))] = 0.01
+        fing = np.full((Sg,), 1e30, np.float32)
+        fing[Lg] = 0.0
+        Bg, Tg2 = 16, 2 * Lg + 2
+        lpx = np.full((Bg, Tg2, Cg), -14.0, np.float32)
+        for bb in range(Bg):
+            t = 0
+            for tok in plant:
+                lpx[bb, t, tok] = 0.0
+                lpx[bb, t + 1, tok] = 0.0
+                t += 2
+            while t < Tg2:
+                lpx[bb, t, 0] = 0.0
+                t += 1
+            lpx[bb] -= np.log(np.exp(lpx[bb]).sum(-1, keepdims=True))
+        g_out = ctc_beam_search(
+            jnp.asarray(lpx), jnp.asarray([Tg2] * Bg, np.int32),
+            BeamSearchConfig(beam_width=8, class_topk=Cg - 1, max_len=32),
+            graph=GraphTables(jnp.asarray(nxt), jnp.asarray(cost),
+                              jnp.asarray(fing), 0))
+        tk = np.asarray(g_out["tokens"])
+        tl = np.asarray(g_out["token_lens"])
+        fin2 = np.asarray(g_out["reached_final"])
+        ok = all(tk[bb, 0, :tl[bb, 0]].tolist() == plant and fin2[bb, 0]
+                 for bb in range(Bg))
+        return 0.0 if ok else np.inf
+    check("graph beam 22k-state chain (denormal canary)",
+          graph_beam_chain_dev, tol=0.0)
 
     # ---- DMA-ring graph-row gather (tpuasr/ops/pallas_gather.py) ----
     # Interpret-mode tests can pass on a kernel Mosaic rejects; compile
